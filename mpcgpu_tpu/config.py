@@ -1,0 +1,76 @@
+"""Runtime configuration for the solver stack.
+
+The reference encodes every knob as a compile-time ``#define``
+(include/common/settings.cuh:1-199).  Here the same knobs are runtime
+dataclasses; anything that affects traced shapes or loop bounds is a static
+field of the jitted functions (hashable, frozen dataclasses).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+def _frozen(cls):
+    return dataclasses.dataclass(frozen=True)(cls)
+
+
+@_frozen
+class CostConfig:
+    """Tracking-cost weights (settings.cuh:84-94, iiwa_eepos_plant.cuh:240-401)."""
+
+    qd_cost: float = 1e-4           # QD_COST
+    r_cost: float = 1e-4            # R_COST (reference uses 1e-3 when N==64)
+    # Evaluate the terminal cost gradient/Hessian at the last state x_{N-1}.
+    # The reference evaluates it at x_{N-2} (iiwa_eepos_plant.cuh:399 passes
+    # s_xux, i.e. knot N-2's state, to the terminal block); set False to
+    # replicate that behavior bit-for-bit.
+    terminal_at_last_state: bool = True
+
+    @staticmethod
+    def for_knots(knot_points: int) -> "CostConfig":
+        # settings.cuh:84-90: R_COST = .001 iff KNOT_POINTS == 64 else .0001
+        return CostConfig(r_cost=1e-3 if knot_points == 64 else 1e-4)
+
+
+@_frozen
+class PCGConfig:
+    """PCG solver knobs (pcg_config<T>, mpcsim.cuh:213-217; settings.cuh:123-144)."""
+
+    max_iter: int = 173
+    exit_tol: float = 1e-5
+    # 'stair' = symmetric-stair preconditioner (pcg/linsys_setup.cuh:9-137),
+    # 'jacobi' = block-diagonal only, 'none' = identity.
+    preconditioner: str = "stair"
+
+    @staticmethod
+    def tuned_max_iter(knot_points: int) -> int:
+        # settings.cuh:124-144 ("values found using experiments")
+        return {32: 173, 64: 167, 128: 167, 256: 118, 512: 67}.get(knot_points, 200)
+
+
+@_frozen
+class SQPConfig:
+    """SQP outer-loop knobs (settings.cuh:147-196, pcg/sqp.cuh:51-67)."""
+
+    max_iter: int = 20              # SQP_MAX_ITER (timing mode)
+    max_time_us: Optional[float] = 2000.0   # SQP_MAX_TIME_US; None = no wall cap
+    num_alphas: int = 8             # pcg/sqp.cuh:52, alpha_i = -1/2^i
+    mu: float = 10.0                # l1 merit penalty (pcg/sqp.cuh:51)
+    rho_min: float = 1e-3           # RHO_MIN
+    rho_factor: float = 1.2         # RHO_FACTOR
+    rho_max: float = 10.0           # RHO_MAX
+    rho_reset: float = 1e-3
+
+
+@_frozen
+class SimConfig:
+    """Closed-loop MPC simulator knobs (mpcsim.cuh:146-426, settings.cuh:56-72)."""
+
+    simulation_period_us: float = 2000.0    # SIMULATION_PERIOD (const-freq mode)
+    const_update_freq: bool = True          # CONST_UPDATE_FREQ
+    shift_threshold_frac: float = 1.0       # SHIFT_THRESHOLD = frac * timestep
+    sim_step_time: float = 2e-4             # plant substep (integrator.cuh:304)
+    max_control_updates: int = 100000
+    remove_jitters: int = 0                 # warm-up solve count (mpcsim.cuh:222-242)

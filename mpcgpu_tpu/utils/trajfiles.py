@@ -1,0 +1,35 @@
+"""Loaders for the reference trajectory fixtures (examples/trajfiles/, C19).
+
+File formats (readCSVToVecVec, include/utils/experiment.cuh:144-170):
+  * ``{s}_{g}_traj.csv``: rows of 21 = 14 state + 7 control per knot;
+  * ``{s}_{g}_eepos.traj``: rows of 6 = ee [xyz, rpy] goal per knot.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+_DEFAULT_DIR = Path("/root/reference/examples/trajfiles")
+_LOCAL_DIR = Path(__file__).resolve().parent.parent.parent / "data" / "trajfiles"
+
+
+def trajfile_dir() -> Path:
+    env = os.environ.get("MPCGPU_TPU_TRAJDIR")
+    if env:
+        return Path(env)
+    if _LOCAL_DIR.is_dir():
+        return _LOCAL_DIR
+    return _DEFAULT_DIR
+
+
+def load_xu_traj(name: str = "0_0", dtype=np.float64) -> np.ndarray:
+    """(steps, 21) state+control trace."""
+    return np.loadtxt(trajfile_dir() / f"{name}_traj.csv", delimiter=",", dtype=dtype)
+
+
+def load_eepos_traj(name: str = "0_0", dtype=np.float64) -> np.ndarray:
+    """(steps, 6) end-effector goal trace [xyz, rpy]."""
+    return np.loadtxt(trajfile_dir() / f"{name}_eepos.traj", delimiter=",", dtype=dtype)
