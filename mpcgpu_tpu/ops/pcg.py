@@ -1,0 +1,69 @@
+"""Preconditioned conjugate gradient on the block-tridiagonal Schur system.
+
+Equivalent of the GBD-PCG cooperative kernel (consumed surface documented at
+SURVEY.md C17; pcg/sqp.cuh:129-151, :230): warm-started PCG with a BTD SpMV,
+BTD preconditioner apply, and two scalar reductions per iteration, exiting on
+|eta| = |r . P^{-1} r| < exit_tol or max_iter.
+
+Written as a ``lax.while_loop`` over fused batched einsums: one XLA program,
+no host round-trips, works under vmap (batched instances) and shard_map
+(knot-sharded; see parallel/pcg_sharded.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mpcgpu_tpu.ops.btd import btd_matvec
+
+
+class PCGResult(NamedTuple):
+    lam: jax.Array        # (N, n) solution
+    iters: jax.Array      # () int32 iterations taken
+    converged: jax.Array  # () bool — True if exit_tol reached before max_iter
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def pcg_solve(S, Pinv, gamma, lam0, max_iter: int = 173, exit_tol=1e-6) -> PCGResult:
+    """Solve S lam = gamma with BTD S and BTD preconditioner Pinv.
+
+    Args:
+      S, Pinv: (N, 3, n, n) BTD matrices (see ops/btd.py).
+      gamma: (N, n) rhs.
+      lam0: (N, n) warm start (the reference warm-starts from the previous
+        MPC step's multipliers, mpcsim.cuh:186-190).
+      max_iter: static iteration cap (settings.cuh:124-144).
+      exit_tol: tolerance on |r . P^{-1} r|.
+    """
+    dtype = gamma.dtype
+    exit_tol = jnp.asarray(exit_tol, dtype)
+
+    r0 = gamma - btd_matvec(S, lam0)
+    z0 = btd_matvec(Pinv, r0)
+    eta0 = jnp.vdot(r0, z0)
+
+    def cond(state):
+        lam, r, p, eta, it, done = state
+        return jnp.logical_and(it < max_iter, jnp.logical_not(done))
+
+    def body(state):
+        lam, r, p, eta, it, _ = state
+        Sp = btd_matvec(S, p)
+        pSp = jnp.vdot(p, Sp)
+        alpha = eta / pSp
+        lam = lam + alpha * p
+        r = r - alpha * Sp
+        z = btd_matvec(Pinv, r)
+        eta_new = jnp.vdot(r, z)
+        done = jnp.abs(eta_new) < exit_tol
+        beta = eta_new / eta
+        p = z + beta * p
+        return (lam, r, p, eta_new, it + 1, done)
+
+    init = (lam0, r0, z0, eta0, jnp.int32(0), jnp.abs(eta0) < exit_tol)
+    lam, r, p, eta, iters, done = jax.lax.while_loop(cond, body, init)
+    return PCGResult(lam=lam, iters=iters, converged=done)

@@ -1,0 +1,119 @@
+"""KKT block assembly: dynamics linearization + tracking-cost quadratics.
+
+Equivalent of generate_kkt_submatrices (include/common/kkt.cuh:22-163) with
+the integrator gradient of include/common/integrator.cuh:59-100 and the
+Gauss-Newton tracking cost of iiwa_eepos_plant.cuh:295-401 — as one vmapped
+jitted function over knot-leading block arrays.
+
+Trajectory layout: ``xu`` is (N, nx+nu); the last knot's control slot is
+unused (the reference stores a ragged (nx+nu)*N - nu vector; we keep a
+rectangular array for static shapes and mask the tail).
+
+QP convention (matches the reference exactly):
+  min 1/2 dz^T G dz + g^T dz  s.t.  C dz + c = 0, with per-knot blocks
+  G = blkdiag(Q_0, R_0, ..., Q_{N-1}),  g = (q_0, r_0, ..., q_{N-1}),
+  constraint rows: row0: dx_0 + (x_0 - xs) = 0;
+  row k+1: dx_{k+1} - A_k dx_k - B_k du_k + c_{k+1} = 0 with
+  c_{k+1} = x_{k+1} - f_euler(x_k, u_k)  (the integrator defect,
+  kkt.cuh:115-117 stores C = -[A|B] and d_c = defect).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from mpcgpu_tpu.config import CostConfig
+from mpcgpu_tpu.models import dynamics
+from mpcgpu_tpu.models.robot import RobotModel
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class KKTBlocks:
+    """Per-knot KKT data (all knot-leading)."""
+
+    Q: jax.Array        # (N, nx, nx) state cost Hessians
+    q: jax.Array        # (N, nx)     state cost gradients
+    R: jax.Array        # (N-1, nu, nu) control cost Hessians
+    r: jax.Array        # (N-1, nu)     control cost gradients
+    A: jax.Array        # (N-1, nx, nx) dynamics state Jacobians
+    B: jax.Array        # (N-1, nx, nu) dynamics control Jacobians
+    c: jax.Array        # (N, nx) constraint residuals; c[0] = x0 - xs
+
+
+def euler_step_and_jacobians(model: RobotModel, x, u, dt):
+    """One Euler step x+ = x + dt*[qd; qdd] and its Jacobians.
+
+    Matches exec_integrator / exec_integrator_gradient with INTEGRATOR_TYPE=0
+    (integrator.cuh:103-130, :59-80):
+        A = I + dt * [[0, I], [dqdd/dq, dqdd/dqd]],  B = [0; dt * M^{-1}].
+    """
+    nq = model.nq
+    q, qd = x[:nq], x[nq:]
+    qdd, dq, dqd, minv = dynamics.fd_and_gradient(model, q, qd, u)
+    xnext = jnp.concatenate([q + dt * qd, qd + dt * qdd])
+    eye = jnp.eye(nq, dtype=x.dtype)
+    zero = jnp.zeros((nq, nq), dtype=x.dtype)
+    A = jnp.block([[eye, dt * eye], [dt * dq, eye + dt * dqd]])
+    B = jnp.concatenate([zero, dt * minv], axis=0)
+    return xnext, A, B
+
+
+def tracking_cost_grad_hess(model: RobotModel, cost: CostConfig, x, u, ee_goal):
+    """Per-knot tracking-cost gradient and (reference-style) Hessian.
+
+    Matches trackingCostGradientAndHessian (iiwa_eepos_plant.cuh:295-378):
+      q[:nq]  = J_ee^T (ee(q) - goal_xyz);     q[nq:] = QD * qd
+      Q[:nq,:nq] = outer(q[:nq], q[:nq])   <- the reference's rank-1
+                   gradient-outer-product "Gauss-Newton" block
+      Q[nq:,nq:] = QD * I;   R = R_COST * I;  r = R_COST * u.
+    """
+    nq = model.nq
+    qpos, qd = x[:nq], x[nq:]
+    ee, J = dynamics.fk_ee_xyz_and_jac(model, qpos)
+    err = ee - ee_goal[:3]
+    gq = J.T @ err
+    grad = jnp.concatenate([gq, cost.qd_cost * qd])
+    Q = jnp.zeros((2 * nq, 2 * nq), dtype=x.dtype)
+    Q = Q.at[:nq, :nq].set(jnp.outer(gq, gq))
+    Q = Q.at[nq:, nq:].set(cost.qd_cost * jnp.eye(nq, dtype=x.dtype))
+    r = cost.r_cost * u
+    R = cost.r_cost * jnp.eye(nq, dtype=x.dtype)
+    return Q, grad, R, r
+
+
+def build_kkt(model: RobotModel, cost: CostConfig, xu, xs, ee_goal, dt) -> KKTBlocks:
+    """Assemble all KKT blocks for the current iterate (jit-friendly).
+
+    Args:
+      xu: (N, nx+nu) trajectory iterate.
+      xs: (nx,) measured initial state.
+      ee_goal: (N, 6) ee goal trace.
+      dt: knot timestep (static python float ok, traced ok).
+    """
+    nq = model.nq
+    nx = 2 * nq
+    N = xu.shape[0]
+    x = xu[:, :nx]
+    u = xu[:, nx:]
+
+    # dynamics linearization at knots 0..N-2
+    xnext, A, B = jax.vmap(lambda xx, uu: euler_step_and_jacobians(model, xx, uu, dt))(
+        x[:-1], u[:-1]
+    )
+    defect = x[1:] - xnext
+    c = jnp.concatenate([(x[0] - xs)[None], defect], axis=0)
+
+    # cost quadratics at every knot; terminal knot has no control term.
+    # The reference evaluates the terminal block at x_{N-2}
+    # (iiwa_eepos_plant.cuh:399 passes the same s_xux); cost.terminal_at_last_
+    # state=True uses the mathematically-correct x_{N-1}.
+    x_eval = x if cost.terminal_at_last_state else x.at[N - 1].set(x[N - 2])
+    Q, q, R, r = jax.vmap(
+        lambda xx, uu, gg: tracking_cost_grad_hess(model, cost, xx, uu, gg)
+    )(x_eval, u, ee_goal)
+
+    return KKTBlocks(Q=Q, q=q, R=R[:-1], r=r[:-1], A=A, B=B, c=c)

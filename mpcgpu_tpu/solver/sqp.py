@@ -1,0 +1,181 @@
+"""SQP outer loop: KKT -> Schur -> linear solve -> dz -> line search -> rho.
+
+Equivalent of sqpSolvePcg / sqpSolveQdldl (include/pcg/sqp.cuh:21-393,
+include/qdldl/sqp.cuh:52-435) as ONE jitted XLA program: the whole solve —
+including the Levenberg-Marquardt rho schedule and the 8-alpha line search —
+runs on device inside a ``lax.while_loop`` with no host round-trips (the
+reference round-trips for the merit argmin, pcg/sqp.cuh:288-301, and
+allocates its entire workspace per call, pcg/sqp.cuh:94-135; we persist
+everything in the jit arena with donated iterates).
+
+Wall-clock budgeting (sqpTimecheck, pcg/sqp.cuh:161-169) cannot live inside a
+traced program; the MPC simulator layer replicates it host-side by chunked
+calls when needed (sim/mpc.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mpcgpu_tpu.config import CostConfig, PCGConfig, SQPConfig
+from mpcgpu_tpu.models.robot import RobotModel
+from mpcgpu_tpu.ops.ldl import btd_ldl_solve
+from mpcgpu_tpu.ops.pcg import pcg_solve
+from mpcgpu_tpu.ops.schur import compute_dz, form_schur_system
+from mpcgpu_tpu.solver.kkt import build_kkt
+from mpcgpu_tpu.solver.merit import line_search_merits, merit_function
+
+
+class SQPResult(NamedTuple):
+    xu: jax.Array           # (N, nx+nu) updated iterate
+    lam: jax.Array          # (N, nx) updated multipliers
+    rho: jax.Array          # () updated regularization
+    sqp_iters: jax.Array    # () int32 iterations performed
+    merit: jax.Array        # () final merit value
+    gave_up: jax.Array      # () bool — rho exceeded rho_max (pcg/sqp.cuh:309-313)
+    pcg_iters: jax.Array    # (max_sqp_iter,) int32 per-iteration linsys iters (-1 pad)
+    pcg_converged: jax.Array  # (max_sqp_iter,) bool per-iteration linsys exit flag
+    ls_alpha_idx: jax.Array   # (max_sqp_iter,) int32 chosen alpha index (-1 = fail)
+
+
+def sqp_solve(
+    model: RobotModel,
+    cost: CostConfig,
+    sqp_cfg: SQPConfig,
+    pcg_cfg: PCGConfig,
+    xu,
+    lam,
+    xs,
+    ee_goal,
+    rho,
+    dt,
+    linsys: str = "pcg",
+    max_sqp_iter: int | None = None,
+) -> SQPResult:
+    """One SQP solve. All array args traced; model/configs/linsys static."""
+    N = xu.shape[0]
+    nx = lam.shape[-1]
+    dtype = xu.dtype
+    max_iter = sqp_cfg.max_iter if max_sqp_iter is None else max_sqp_iter
+
+    rho = jnp.asarray(rho, dtype)
+    mu = jnp.asarray(sqp_cfg.mu, dtype)
+    dt = jnp.asarray(dt, dtype)
+
+    merit0 = merit_function(model, cost, xu, xs, ee_goal, mu, dt, include_x0=False)
+
+    def solve_linsys(schur, lam):
+        if linsys == "pcg":
+            res = pcg_solve(
+                schur.S, schur.Pinv, schur.gamma, lam,
+                max_iter=pcg_cfg.max_iter, exit_tol=pcg_cfg.exit_tol,
+            )
+            return res.lam, res.iters, res.converged
+        elif linsys == "ldl":
+            lam_new = btd_ldl_solve(schur.S, schur.gamma)
+            return lam_new, jnp.int32(1), jnp.bool_(True)
+        else:
+            raise ValueError(f"unknown linsys {linsys!r}")
+
+    def cond(state):
+        return jnp.logical_and(state["it"] < max_iter, ~state["stop"])
+
+    def body(state):
+        xu, lam, rho, drho = state["xu"], state["lam"], state["rho"], state["drho"]
+        it = state["it"]
+
+        kkt = build_kkt(model, cost, xu, xs, ee_goal, dt)
+        schur = form_schur_system(kkt, rho, preconditioner=pcg_cfg.preconditioner)
+        lam, lin_iters, lin_ok = solve_linsys(schur, lam)
+        dz = compute_dz(kkt, schur, lam)
+
+        merits, alphas = line_search_merits(
+            model, cost, xu, dz, xs, ee_goal, mu, dt, num_alphas=sqp_cfg.num_alphas
+        )
+        best = jnp.argmin(merits)
+        min_merit = merits[best]
+        success = min_merit < state["merit"]
+
+        # Levenberg-Marquardt rho schedule (pcg/sqp.cuh:304-320)
+        drho_fail = jnp.maximum(drho * sqp_cfg.rho_factor, sqp_cfg.rho_factor)
+        rho_fail = jnp.maximum(rho * drho_fail, sqp_cfg.rho_min)
+        gave_up = rho_fail > sqp_cfg.rho_max
+        drho_ok = jnp.minimum(drho / sqp_cfg.rho_factor, 1.0 / sqp_cfg.rho_factor)
+        rho_ok = jnp.maximum(rho * drho_ok, sqp_cfg.rho_min)
+
+        xu_new = jnp.where(success, xu + alphas[best] * dz, xu)
+        rho_new = jnp.where(
+            success, rho_ok, jnp.where(gave_up, jnp.asarray(sqp_cfg.rho_reset, dtype), rho_fail)
+        )
+        drho_new = jnp.where(success, drho_ok, drho_fail)
+        merit_new = jnp.where(success, min_merit, state["merit"])
+        stop = jnp.logical_and(~success, gave_up)
+
+        return dict(
+            xu=xu_new,
+            lam=lam,
+            rho=rho_new,
+            drho=drho_new,
+            merit=merit_new,
+            it=it + 1,
+            stop=stop,
+            gave_up=jnp.logical_or(state["gave_up"], jnp.logical_and(~success, gave_up)),
+            pcg_iters=state["pcg_iters"].at[it].set(lin_iters),
+            pcg_converged=state["pcg_converged"].at[it].set(lin_ok),
+            ls_alpha_idx=state["ls_alpha_idx"].at[it].set(
+                jnp.where(success, best.astype(jnp.int32), jnp.int32(-1))
+            ),
+        )
+
+    init = dict(
+        xu=xu,
+        lam=lam,
+        rho=rho,
+        drho=jnp.asarray(1.0, dtype),
+        merit=merit0,
+        it=jnp.int32(0),
+        stop=jnp.bool_(False),
+        gave_up=jnp.bool_(False),
+        pcg_iters=jnp.full((max_iter,), -1, jnp.int32),
+        pcg_converged=jnp.zeros((max_iter,), jnp.bool_),
+        ls_alpha_idx=jnp.full((max_iter,), -1, jnp.int32),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return SQPResult(
+        xu=final["xu"],
+        lam=final["lam"],
+        rho=final["rho"],
+        sqp_iters=final["it"],
+        merit=final["merit"],
+        gave_up=final["gave_up"],
+        pcg_iters=final["pcg_iters"],
+        pcg_converged=final["pcg_converged"],
+        ls_alpha_idx=final["ls_alpha_idx"],
+    )
+
+
+def make_sqp_solver(
+    model: RobotModel,
+    cost: CostConfig,
+    sqp_cfg: SQPConfig,
+    pcg_cfg: PCGConfig,
+    dt: float,
+    linsys: str = "pcg",
+    donate: bool = True,
+):
+    """Build a jitted solver fn(xu, lam, xs, ee_goal, rho) -> SQPResult.
+
+    Iterate buffers are donated so repeated MPC solves reuse device memory
+    (unlike the reference's per-call cudaMalloc of the whole workspace,
+    pcg/sqp.cuh:94-135)."""
+
+    def _solve(xu, lam, xs, ee_goal, rho):
+        return sqp_solve(
+            model, cost, sqp_cfg, pcg_cfg, xu, lam, xs, ee_goal, rho, dt, linsys=linsys
+        )
+
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(_solve, donate_argnums=donate_argnums)

@@ -1,0 +1,89 @@
+"""SQP solver tests: merit decrease, PCG-vs-direct parity (the reference's own
+cross-validation strategy, SURVEY.md section 4), and rho schedule behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpcgpu_tpu.config import CostConfig, PCGConfig, SQPConfig
+from mpcgpu_tpu.models import iiwa14
+from mpcgpu_tpu.solver.merit import merit_function
+from mpcgpu_tpu.solver.sqp import sqp_solve
+from mpcgpu_tpu.utils.trajfiles import load_eepos_traj, load_xu_traj
+
+N = 16
+NX = 14
+DT = 1.0 / 64.0
+
+
+@pytest.fixture(scope="module")
+def problem():
+    model = iiwa14(dtype=jnp.float32)
+    cost = CostConfig()
+    xu = jnp.asarray(load_xu_traj("0_0")[:N], jnp.float32)
+    ee_goal = jnp.asarray(load_eepos_traj("0_0")[:N], jnp.float32)
+    # perturb the warm start so the solver has work to do
+    key = jax.random.PRNGKey(0)
+    xu = xu + 0.02 * jax.random.normal(key, xu.shape, jnp.float32)
+    xs = xu[0, :NX]
+    lam = jnp.zeros((N, NX), jnp.float32)
+    return model, cost, xu, lam, xs, ee_goal
+
+
+def _merit(model, cost, xu, xs, ee_goal):
+    return float(
+        merit_function(model, cost, xu, xs, ee_goal, 10.0, DT, include_x0=False)
+    )
+
+
+def test_sqp_decreases_merit_pcg(problem):
+    model, cost, xu, lam, xs, ee_goal = problem
+    m0 = _merit(model, cost, xu, xs, ee_goal)
+    res = sqp_solve(
+        model, cost, SQPConfig(max_iter=8), PCGConfig(max_iter=200, exit_tol=1e-8),
+        xu, lam, xs, ee_goal, rho=1e-3, dt=DT, linsys="pcg",
+    )
+    m1 = _merit(model, cost, res.xu, xs, ee_goal)
+    assert m1 < m0 * 0.5, (m0, m1)
+    assert int(res.sqp_iters) >= 1
+    assert np.all(np.asarray(res.pcg_iters[: int(res.sqp_iters)]) >= 0)
+
+
+def test_pcg_and_ldl_paths_agree(problem):
+    """PCG and direct LDL^T share every stage except the linear solve — the
+    reference's numerical oracle (mpcsim.cuh:21-25). With a tight PCG tol the
+    resulting trajectories must match closely."""
+    model, cost, xu, lam, xs, ee_goal = problem
+    kw = dict(xs=xs, ee_goal=ee_goal, rho=1e-3, dt=DT)
+    res_pcg = sqp_solve(
+        model, cost, SQPConfig(max_iter=4), PCGConfig(max_iter=1000, exit_tol=1e-12),
+        xu, lam, linsys="pcg", **kw,
+    )
+    res_ldl = sqp_solve(
+        model, cost, SQPConfig(max_iter=4), PCGConfig(),
+        xu, lam, linsys="ldl", **kw,
+    )
+    # float32 PCG converges to ~1e-6 on lambda; over 4 SQP iterations with a
+    # discrete line search the iterates stay within a few 1e-3
+    np.testing.assert_allclose(
+        np.asarray(res_pcg.xu), np.asarray(res_ldl.xu), rtol=0, atol=5e-3
+    )
+    assert int(res_pcg.sqp_iters) == int(res_ldl.sqp_iters)
+
+
+def test_sqp_near_feasible_start_accepts_small_steps(problem):
+    """Starting ON the recorded (near-feasible, near-optimal) trajectory the
+    solver should not blow the iterate up."""
+    model, cost, *_ = problem
+    xu = jnp.asarray(load_xu_traj("0_0")[:N], jnp.float32)
+    ee_goal = jnp.asarray(load_eepos_traj("0_0")[:N], jnp.float32)
+    xs = xu[0, :NX]
+    lam = jnp.zeros((N, NX), jnp.float32)
+    m0 = _merit(model, cost, xu, xs, ee_goal)
+    res = sqp_solve(
+        model, cost, SQPConfig(max_iter=5), PCGConfig(max_iter=200, exit_tol=1e-8),
+        xu, lam, xs, ee_goal, rho=1e-3, dt=DT, linsys="pcg",
+    )
+    m1 = _merit(model, cost, res.xu, xs, ee_goal)
+    assert m1 <= m0 + 1e-6
