@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""IIWA end-effector tracking with the PCG linear-system solver.
+
+TPU-native counterpart of examples/track_iiwa_pcg.cu: loads the recorded
+start/goal trajectory pair, sweeps PCG exit tolerances, runs the closed-loop
+MPC tracker, and writes per-run .result files plus an `_overall_stats.csv`
+(track_iiwa_pcg.cu:39-175).
+
+Usage:  python examples/track_iiwa_pcg.py [--knots 32] [--steps 200] [--save]
+"""
+
+import argparse
+
+import jax.numpy as jnp
+
+from mpcgpu_tpu.config import PCGConfig, SimConfig, SQPConfig
+from mpcgpu_tpu.models import iiwa14
+from mpcgpu_tpu.sim.mpc import simulate_mpc
+from mpcgpu_tpu.utils.experiment import dump_tracking_data, print_stats, write_overall_stats_csv
+from mpcgpu_tpu.utils.trajfiles import load_eepos_traj, load_xu_traj
+
+# reference tolerance sweeps (track_iiwa_pcg.cu:46-73)
+TOL_SWEEP = {
+    32: [5e-6, 7.5e-6, 5e-6, 2.5e-6, 1e-6],
+    64: [5e-5, 7.5e-5, 5e-5, 2.5e-5, 1e-5],
+}
+DEFAULT_TOLS = [1e-5, 5e-5, 1e-4, 5e-4, 1e-3]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--knots", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=None, help="trajectory steps to track")
+    ap.add_argument("--traj", default="0_0")
+    ap.add_argument("--tols", type=float, nargs="*", default=None)
+    ap.add_argument("--test-iters", type=int, default=1)
+    ap.add_argument("--save", action="store_true")
+    ap.add_argument("--outdir", default="results")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    model = iiwa14(dtype=jnp.float32)
+    xu_traj = load_xu_traj(args.traj)
+    ee_traj = load_eepos_traj(args.traj)
+    if args.steps:
+        xu_traj, ee_traj = xu_traj[: args.steps], ee_traj[: args.steps]
+
+    tols = args.tols or TOL_SWEEP.get(args.knots, DEFAULT_TOLS)
+    print(f"knots={args.knots} steps={len(xu_traj)} solver=PCG "
+          f"max_iter={PCGConfig.tuned_max_iter(args.knots)} tols={tols}")
+
+    rows = []
+    for tol in tols:
+        for it in range(args.test_iters):
+            stats = simulate_mpc(
+                model, xu_traj, ee_traj,
+                knot_points=args.knots,
+                timestep=1.0 / 64.0,
+                sqp_cfg=SQPConfig(),
+                pcg_cfg=PCGConfig(max_iter=PCGConfig.tuned_max_iter(args.knots), exit_tol=tol),
+                sim_cfg=SimConfig(),
+                linsys="pcg",
+                verbose=args.verbose,
+            )
+            s = stats.summary()
+            s["exit_tol"] = tol
+            rows.append(s)
+            print(f"tol={tol:g}: {s}")
+            print_stats(stats.sqp_times_us, "sqp solve time (us)")
+            if args.save:
+                dump_tracking_data(args.outdir, f"pcg_{args.knots}_{tol:g}", stats, it)
+    if args.save:
+        write_overall_stats_csv(f"{args.outdir}/pcg_{args.knots}_overall_stats.csv", rows)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""IIWA end-effector tracking with the direct LDL^T linear-system solver.
+
+TPU-native counterpart of examples/track_iiwa_qdldl.cu: identical pipeline to
+the PCG driver with the linear solve swapped for the block-tridiagonal LDL^T
+factorization (the reference's qdldl path, include/qdldl/sqp.cuh; exit_tol is
+the -1 sentinel there, track_iiwa_qdldl.cu:44).
+"""
+
+import argparse
+
+import jax.numpy as jnp
+
+from mpcgpu_tpu.config import SimConfig, SQPConfig
+from mpcgpu_tpu.models import iiwa14
+from mpcgpu_tpu.sim.mpc import simulate_mpc
+from mpcgpu_tpu.utils.experiment import dump_tracking_data, print_stats, write_overall_stats_csv
+from mpcgpu_tpu.utils.trajfiles import load_eepos_traj, load_xu_traj
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--knots", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--traj", default="0_0")
+    ap.add_argument("--test-iters", type=int, default=1)
+    ap.add_argument("--save", action="store_true")
+    ap.add_argument("--outdir", default="results")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    model = iiwa14(dtype=jnp.float32)
+    xu_traj = load_xu_traj(args.traj)
+    ee_traj = load_eepos_traj(args.traj)
+    if args.steps:
+        xu_traj, ee_traj = xu_traj[: args.steps], ee_traj[: args.steps]
+
+    print(f"knots={args.knots} steps={len(xu_traj)} solver=LDL^T (qdldl-equivalent)")
+    rows = []
+    for it in range(args.test_iters):
+        stats = simulate_mpc(
+            model, xu_traj, ee_traj,
+            knot_points=args.knots,
+            timestep=1.0 / 64.0,
+            sqp_cfg=SQPConfig(),
+            sim_cfg=SimConfig(),
+            linsys="ldl",
+            verbose=args.verbose,
+        )
+        s = stats.summary()
+        rows.append(s)
+        print(s)
+        print_stats(stats.sqp_times_us, "sqp solve time (us)")
+        if args.save:
+            dump_tracking_data(args.outdir, f"qdldl_{args.knots}", stats, it)
+    if args.save:
+        write_overall_stats_csv(f"{args.outdir}/qdldl_{args.knots}_overall_stats.csv", rows)
+
+
+if __name__ == "__main__":
+    main()

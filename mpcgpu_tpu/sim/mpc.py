@@ -1,0 +1,241 @@
+"""Closed-loop MPC simulator: solve -> simulate plant -> shift -> repeat.
+
+Equivalent of simulateMPC (include/mpcsim.cuh:146-426) and simple_simulate
+(include/common/integrator.cuh:295-325).  The control loop is a host loop (as
+in the reference), but each stage is one jitted XLA program; plant stepping is
+a ``lax.scan`` over fixed 2e-4 s substeps instead of the reference's one
+kernel launch per substep (integrator.cuh:314-319).
+
+Timing semantics (CONST_UPDATE_FREQ, settings.cuh:56-72, mpcsim.cuh:280-284):
+each control update advances the plant by ``simulation_period_us`` using the
+PREVIOUS plan's controls offset by the previous solve time, then shifts the
+plan/goal/multipliers once per trajectory timestep.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpcgpu_tpu.config import CostConfig, PCGConfig, SimConfig, SQPConfig
+from mpcgpu_tpu.models import dynamics
+from mpcgpu_tpu.models.robot import RobotModel
+from mpcgpu_tpu.solver.sqp import make_sqp_solver
+
+
+@dataclasses.dataclass
+class MPCStats:
+    """Reference metric set (mpcsim.cuh:358-394; SURVEY.md section 5)."""
+
+    linsys_iters: list
+    linsys_exits: list
+    sqp_times_us: list
+    sqp_iters: list
+    sqp_exits: list
+    tracking_errors: list
+    tracking_path: list
+    final_tracking_error: float = float("nan")
+
+    def summary(self) -> dict:
+        te = np.asarray(self.tracking_errors, dtype=np.float64)
+        st = np.asarray(self.sqp_times_us, dtype=np.float64)
+        it = np.concatenate([np.asarray(v) for v in self.linsys_iters]) if self.linsys_iters else np.zeros(0)
+        ex = np.concatenate([np.asarray(v) for v in self.linsys_exits]) if self.linsys_exits else np.zeros(0)
+        return dict(
+            avg_tracking_error=float(te.mean()) if te.size else float("nan"),
+            final_tracking_error=self.final_tracking_error,
+            avg_sqp_time_us=float(st.mean()) if st.size else float("nan"),
+            avg_sqp_iters=float(np.mean(self.sqp_iters)) if self.sqp_iters else float("nan"),
+            avg_pcg_iters=float(it.mean()) if it.size else float("nan"),
+            pcg_maxiter_exit_pct=float(100.0 * (1.0 - ex.mean())) if ex.size else float("nan"),
+            control_updates=len(self.sqp_times_us),
+        )
+
+
+@partial(jax.jit, static_argnames=("n_steps",))
+def _simulate_plant(model: RobotModel, xs, xu_plan, time_offset_s, sim_time_s,
+                    timestep, n_steps: int, sim_step: float):
+    """Advance the plant from xs for sim_time using xu_plan's controls.
+
+    Mirrors simple_simulate (integrator.cuh:295-325): Euler substeps of
+    ``sim_step`` seconds; the control applied at each substep is the plan knot
+    whose window contains (time_offset + elapsed); a final fmod-length partial
+    step finishes the interval.
+    """
+    nq = model.nq
+    N = xu_plan.shape[0]
+
+    def substep(x, dt_k):
+        t, dt = dt_k
+        idx = jnp.minimum((t / timestep).astype(jnp.int32), N - 1)
+        u = jax.lax.dynamic_index_in_dim(xu_plan, idx, axis=0, keepdims=False)[2 * nq :]
+        qdd = dynamics.forward_dynamics(model, x[:nq], x[nq:], u)
+        xn = jnp.concatenate([x[:nq] + dt * x[nq:], x[nq:] + dt * qdd])
+        return xn, None
+
+    ts = time_offset_s + sim_step * jnp.arange(n_steps + 1, dtype=xs.dtype)
+    dts = jnp.full((n_steps + 1,), sim_step, xs.dtype).at[-1].set(
+        jnp.asarray(sim_time_s % sim_step, xs.dtype)
+    )
+    xs_final, _ = jax.lax.scan(substep, xs, (ts, dts))
+    return xs_final
+
+
+@jax.jit
+def _ee_xyz(model: RobotModel, q):
+    return dynamics.fk_ee_xyz(model, q)
+
+
+@jax.jit
+def _shift_all(xu, lam, ee_goal, backfill_xu, backfill_goal):
+    """Warm-start shift of plan/goal/multipliers (mpcsim.cuh:313-340).
+
+    All three shift left one knot (just_shift, integrator.cuh:257-263 — there
+    a host loop of N small D2D memcpys; here a single roll) and the tails are
+    backfilled: xu tail from the precomputed trajectory (or goal-with-zero-
+    velocity past its end), goal tail from the goal trace, lambda tail
+    duplicated.
+    """
+    xu = jnp.concatenate([xu[1:], backfill_xu[None]], axis=0)
+    ee_goal = jnp.concatenate([ee_goal[1:], backfill_goal[None]], axis=0)
+    lam = jnp.concatenate([lam[1:], lam[-1:]], axis=0)
+    return xu, lam, ee_goal
+
+
+def simulate_mpc(
+    model: RobotModel,
+    xu_traj: np.ndarray,          # (traj_steps, nx+nu) precomputed trajectory
+    eepos_traj: np.ndarray,       # (traj_steps, 6) ee goal trace
+    knot_points: int,
+    timestep: float,
+    cost: Optional[CostConfig] = None,
+    sqp_cfg: SQPConfig = SQPConfig(),
+    pcg_cfg: Optional[PCGConfig] = None,
+    sim_cfg: SimConfig = SimConfig(),
+    linsys: str = "pcg",
+    linsys_exit_tol: Optional[float] = None,
+    dtype=jnp.float32,
+    verbose: bool = False,
+) -> MPCStats:
+    """Track the recorded trajectory closed-loop; returns reference-style stats."""
+    N = knot_points
+    nq = model.nq
+    nx, nu = 2 * nq, nq
+    traj_steps = xu_traj.shape[0]
+    cost = cost or CostConfig.for_knots(N)
+    pcg_cfg = pcg_cfg or PCGConfig(
+        max_iter=PCGConfig.tuned_max_iter(N),
+        exit_tol=linsys_exit_tol if linsys_exit_tol is not None else 1e-5,
+    )
+    if linsys_exit_tol is not None:
+        pcg_cfg = dataclasses.replace(pcg_cfg, exit_tol=linsys_exit_tol)
+
+    xu_traj_j = jnp.asarray(xu_traj, dtype)
+    ee_traj_j = jnp.asarray(eepos_traj, dtype)
+
+    xu = xu_traj_j[:N]
+    xu_old = xu
+    ee_goal = ee_traj_j[:N]
+    lam = jnp.zeros((N, nx), dtype)
+    xs = xu[0, :nx]
+    rho = jnp.asarray(1e-3, dtype)
+
+    solver = make_sqp_solver(model, cost, sqp_cfg, pcg_cfg, timestep, linsys=linsys, donate=False)
+
+    # plant substep counts are static (const-update-freq mode)
+    sim_time_s = sim_cfg.simulation_period_us * 1e-6
+    n_sub = int(sim_time_s / sim_cfg.sim_step_time)
+
+    # warm-up (REMOVE_JITTERS, mpcsim.cuh:222-242) + compile
+    for _ in range(max(1, sim_cfg.remove_jitters)):
+        res = solver(xu, lam, xs, ee_goal, rho)
+        jax.block_until_ready(res.xu)
+
+    stats = MPCStats([], [], [], [], [], [], [])
+    stats.tracking_path.append(np.asarray(xs))
+
+    shift_threshold = sim_cfg.shift_threshold_frac * timestep
+    time_since_timestep = 0.0
+    prev_sim_time = 0.0
+    shifted = False
+    traj_offset = 0
+
+    for step in range(sim_cfg.max_control_updates):
+        if traj_offset >= traj_steps:
+            break
+
+        t0 = time.perf_counter()
+        res = solver(xu, lam, xs, ee_goal, rho)
+        jax.block_until_ready(res.xu)
+        sqp_time_us = (time.perf_counter() - t0) * 1e6
+        xu, lam, rho = res.xu, res.lam, res.rho
+
+        n_iters = int(res.sqp_iters)
+        stats.linsys_iters.append(np.asarray(res.pcg_iters[:n_iters]))
+        stats.linsys_exits.append(np.asarray(res.pcg_converged[:n_iters]))
+        stats.sqp_times_us.append(sqp_time_us)
+        stats.sqp_iters.append(n_iters)
+        stats.sqp_exits.append(bool(res.gave_up))
+
+        sim_time_us = (
+            sim_cfg.simulation_period_us if sim_cfg.const_update_freq else sqp_time_us
+        )
+        xs = _simulate_plant(
+            model, xs, xu_old,
+            jnp.asarray(prev_sim_time * 1e-6, dtype),
+            jnp.asarray(sim_time_us * 1e-6, dtype),
+            jnp.asarray(timestep, dtype),
+            n_sub, sim_cfg.sim_step_time,
+        )
+        xu_old = xu
+        time_since_timestep += sim_time_us * 1e-6
+
+        if not shifted and time_since_timestep > shift_threshold:
+            # record tracking error before shifting the goal (mpcsim.cuh:300-309)
+            ee = np.asarray(_ee_xyz(model, xs[:nq]))
+            err = float(np.abs(ee - np.asarray(ee_goal[0, :3])).sum())
+            stats.tracking_errors.append(err)
+            traj_offset += 1
+
+            if traj_offset + N < traj_steps:
+                # NOTE: the reference backfills the shifted tail from the
+                # trajectory at offset `traj_offset` (mpcsim.cuh:316), i.e.
+                # horizon-START-relative; we use the horizon END index, which
+                # is the consistent warm start (the goal shift at
+                # mpcsim.cuh:327-328 already uses the end index).
+                tail = xu_traj_j[traj_offset + N - 1]
+                goal_tail = ee_traj_j[traj_offset + N - 1]
+            else:
+                qgoal = xu_traj_j[traj_steps - 1, :nq]
+                tail = jnp.concatenate([qgoal, jnp.zeros((nx - nq + nu,), dtype)])
+                goal_tail = ee_traj_j[traj_steps - 1]
+            xu, lam, ee_goal = _shift_all(xu, lam, ee_goal, tail, goal_tail)
+            shifted = True
+
+        if time_since_timestep > timestep:
+            shifted = False
+            time_since_timestep = math.fmod(time_since_timestep, timestep)
+
+        # pin the plan's initial state to the measured state (mpcsim.cuh:348)
+        xu = xu.at[0, :nx].set(xs)
+        prev_sim_time = sim_time_us
+
+        stats.tracking_path.append(np.asarray(xs))
+
+        if verbose and step % 50 == 0:
+            print(
+                f"step {step:5d} offset {traj_offset:4d} "
+                f"sqp {sqp_time_us:8.1f}us iters {n_iters} "
+                f"err {stats.tracking_errors[-1] if stats.tracking_errors else float('nan'):.4f}"
+            )
+
+    ee = np.asarray(_ee_xyz(model, xs[:nq]))
+    stats.final_tracking_error = float(np.abs(ee - np.asarray(ee_goal[0, :3])).sum())
+    return stats

@@ -1,0 +1,55 @@
+"""Closed-loop MPC integration test (SURVEY.md section 4 point 4): track a
+short window of the recorded IIWA trace and verify the tracking error stays
+small — the reference's own correctness criterion (mpcsim.cuh:300-309)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from mpcgpu_tpu.config import PCGConfig, SimConfig, SQPConfig
+from mpcgpu_tpu.models import iiwa14
+from mpcgpu_tpu.sim.mpc import simulate_mpc
+from mpcgpu_tpu.utils.trajfiles import load_eepos_traj, load_xu_traj
+
+
+def test_closed_loop_tracking_short():
+    model = iiwa14(dtype=jnp.float32)
+    xu_traj = load_xu_traj("0_0")[:80]
+    ee_traj = load_eepos_traj("0_0")[:80]
+    stats = simulate_mpc(
+        model,
+        xu_traj,
+        ee_traj,
+        knot_points=16,
+        timestep=1.0 / 64.0,
+        sqp_cfg=SQPConfig(max_iter=5),
+        pcg_cfg=PCGConfig(max_iter=100, exit_tol=1e-6),
+        sim_cfg=SimConfig(max_control_updates=40),
+        linsys="pcg",
+    )
+    s = stats.summary()
+    assert s["control_updates"] == 40
+    assert len(stats.tracking_errors) >= 3
+    # L1 xyz error in meters; the arm should stay close to the goal trace
+    assert s["avg_tracking_error"] < 0.12, s
+    assert np.isfinite(s["avg_pcg_iters"])
+
+
+def test_closed_loop_ldl_matches_pcg_roughly():
+    model = iiwa14(dtype=jnp.float32)
+    xu_traj = load_xu_traj("0_0")[:60]
+    ee_traj = load_eepos_traj("0_0")[:60]
+    kw = dict(
+        knot_points=16,
+        timestep=1.0 / 64.0,
+        sqp_cfg=SQPConfig(max_iter=3),
+        sim_cfg=SimConfig(max_control_updates=25),
+    )
+    s_pcg = simulate_mpc(
+        model, xu_traj, ee_traj, pcg_cfg=PCGConfig(max_iter=200, exit_tol=1e-8),
+        linsys="pcg", **kw,
+    ).summary()
+    s_ldl = simulate_mpc(model, xu_traj, ee_traj, linsys="ldl", **kw).summary()
+    # solver cross-validation by construction (mpcsim.cuh:21-25)
+    assert abs(s_pcg["avg_tracking_error"] - s_ldl["avg_tracking_error"]) < 0.05
