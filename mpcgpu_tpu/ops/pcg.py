@@ -51,18 +51,29 @@ def pcg_solve(S, Pinv, gamma, lam0, max_iter: int = 173, exit_tol=1e-6) -> PCGRe
         return jnp.logical_and(it < max_iter, jnp.logical_not(done))
 
     def body(state):
-        lam, r, p, eta, it, _ = state
-        Sp = btd_matvec(S, p)
-        pSp = jnp.vdot(p, Sp)
-        alpha = eta / pSp
-        lam = lam + alpha * p
-        r = r - alpha * Sp
+        lam0_, r0_, p0_, eta0_, it0_, done0_ = state
+        Sp = btd_matvec(S, p0_)
+        pSp = jnp.vdot(p0_, Sp)
+        alpha = eta0_ / pSp
+        lam = lam0_ + alpha * p0_
+        r = r0_ - alpha * Sp
         z = btd_matvec(Pinv, r)
         eta_new = jnp.vdot(r, z)
         done = jnp.abs(eta_new) < exit_tol
-        beta = eta_new / eta
-        p = z + beta * p
-        return (lam, r, p, eta_new, it + 1, done)
+        beta = eta_new / eta0_
+        p = z + beta * p0_
+        # freeze finished lanes: under vmap the loop runs until ALL lanes
+        # exit, so converged lanes must stop mutating to keep exact per-lane
+        # iteration counts and iterates (batched-instance mode).
+        keep = lambda new, old: jnp.where(done0_, old, new)
+        return (
+            keep(lam, lam0_),
+            keep(r, r0_),
+            keep(p, p0_),
+            keep(eta_new, eta0_),
+            keep(it0_ + 1, it0_),
+            jnp.logical_or(done0_, done),
+        )
 
     init = (lam0, r0, z0, eta0, jnp.int32(0), jnp.abs(eta0) < exit_tol)
     lam, r, p, eta, iters, done = jax.lax.while_loop(cond, body, init)

@@ -1,0 +1,46 @@
+"""Batched parallel-scenario MPC: vmap over a leading instance axis.
+
+The reference solves one MPC problem at a time; scenario batching (256
+instances/chip, BASELINE configs[3]) is a new capability.  One vmap makes the
+entire SQP solve — including the PCG while_loop (batched iterations run until
+every instance's own exit condition or cap) — a single batched XLA program.
+
+Note on batched PCG semantics: under vmap the while_loop runs until ALL lanes
+converge, but each lane stops updating once its own exit fires?  No — vmap of
+while_loop lifts the condition to ANY lane still running, and the body keeps
+updating every lane.  For exact per-lane exit semantics (iteration counts per
+instance) we mask updates once a lane has converged; see ``pcg_solve``'s use
+inside the solver: iters/converged are reported per lane correctly because
+eta-based exit is monotone under continued iteration.  For performance this
+is the right trade on TPU: lanes are SIMD-batched either way.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from mpcgpu_tpu.config import CostConfig, PCGConfig, SQPConfig
+from mpcgpu_tpu.models.robot import RobotModel
+from mpcgpu_tpu.solver.sqp import sqp_solve
+
+
+def make_batched_sqp_solver(
+    model: RobotModel,
+    cost: CostConfig,
+    sqp_cfg: SQPConfig,
+    pcg_cfg: PCGConfig,
+    dt: float,
+    linsys: str = "pcg",
+    donate: bool = True,
+):
+    """fn(xu (B,N,nx+nu), lam (B,N,nx), xs (B,nx), ee_goal (B,N,6), rho (B,))
+    -> batched SQPResult."""
+
+    def _solve_one(xu, lam, xs, ee_goal, rho):
+        return sqp_solve(
+            model, cost, sqp_cfg, pcg_cfg, xu, lam, xs, ee_goal, rho, dt, linsys=linsys
+        )
+
+    batched = jax.vmap(_solve_one)
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(batched, donate_argnums=donate_argnums)

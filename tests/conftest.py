@@ -13,3 +13,6 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# oracle tests compare against float64 references; production arrays are
+# created explicitly float32, so enabling x64 here does not change them
+jax.config.update("jax_enable_x64", True)
