@@ -39,13 +39,23 @@ def main():
     xs = xu[0, :14]
     lam = jnp.zeros((N, 14), dtype)
 
-    fn = jax.jit(
-        lambda xu_, lam_, rho_: sqp_solve(
-            model, cost, sqp_cfg, pcg_cfg, xu_, lam_, xs, ee, rho_, 1.0 / 64.0,
-            linsys="pcg",
+    def make_fn(linsys):
+        return jax.jit(
+            lambda xu_, lam_, rho_: sqp_solve(
+                model, cost, sqp_cfg, pcg_cfg, xu_, lam_, xs, ee, rho_, 1.0 / 64.0,
+                linsys=linsys,
+            )
         )
-    )
+
     rho = jnp.asarray(1e-3, dtype)
+
+    # fused Pallas PCG on TPU; fall back to the while_loop solver elsewhere
+    try:
+        fn = make_fn("pcg_pallas" if jax.default_backend() == "tpu" else "pcg")
+        res = fn(xu, lam, rho)
+        jax.block_until_ready(res.xu)
+    except Exception:
+        fn = make_fn("pcg")
 
     # warm-up / compile (REMOVE_JITTERS analogue, mpcsim.cuh:222-242)
     for _ in range(3):

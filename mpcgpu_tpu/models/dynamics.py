@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from mpcgpu_tpu.models.robot import RobotModel
 from mpcgpu_tpu.models.spatial import crf_apply, crm_apply
+from mpcgpu_tpu.ops.smallmat import gj_inverse, gj_solve_vec
 
 # ---------------------------------------------------------------------------
 # forward kinematics
@@ -143,20 +144,19 @@ def mass_matrix(model: RobotModel, q: jax.Array) -> jax.Array:
 
 def minv(model: RobotModel, q: jax.Array) -> jax.Array:
     """Dense M(q)^{-1} (direct_minv_inner equivalent)."""
-    M = mass_matrix(model, q)
-    return jnp.linalg.inv(M)
+    return gj_inverse(mass_matrix(model, q))
 
 
 def forward_dynamics(model: RobotModel, q, qd, u) -> jax.Array:
     """qdd = M(q)^{-1} (u - c(q, qd)).
 
     Matches forward_dynamics_inner / forward_dynamics_finish
-    (iiwa_eepos_grid.cuh:4351-4556): bias from RNEA at qdd=0, then an M solve.
+    (iiwa_eepos_grid.cuh:4351-4556): bias from RNEA at qdd=0, then an M solve
+    (unrolled Gauss-Jordan — no XLA loop-based factorizations on tiny blocks).
     """
     c = rnea(model, q, qd)
     M = mass_matrix(model, q)
-    cho = jax.scipy.linalg.cho_factor(M)
-    return jax.scipy.linalg.cho_solve(cho, u - c)
+    return gj_solve_vec(M, u - c)
 
 
 def fd_and_gradient(model: RobotModel, q, qd, u):
@@ -174,14 +174,12 @@ def fd_and_gradient(model: RobotModel, q, qd, u):
     """
     c = rnea(model, q, qd)
     M = mass_matrix(model, q)
-    cho = jax.scipy.linalg.cho_factor(M)
-    qdd = jax.scipy.linalg.cho_solve(cho, u - c)
+    minv_ = gj_inverse(M)
+    qdd = minv_ @ (u - c)
 
     did_dq, did_dqd = jax.jacfwd(
         lambda qq, qqd: rnea(model, qq, qqd, qdd), argnums=(0, 1)
     )(q, qd)
-    dqdd_dq = -jax.scipy.linalg.cho_solve(cho, did_dq)
-    dqdd_dqd = -jax.scipy.linalg.cho_solve(cho, did_dqd)
-    nq = model.nq
-    minv_ = jax.scipy.linalg.cho_solve(cho, jnp.eye(nq, dtype=M.dtype))
+    dqdd_dq = -minv_ @ did_dq
+    dqdd_dqd = -minv_ @ did_dqd
     return qdd, dqdd_dq, dqdd_dqd, minv_

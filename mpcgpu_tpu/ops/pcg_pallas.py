@@ -1,0 +1,135 @@
+"""Fused Pallas PCG kernel: the whole CG solve in one VMEM-resident kernel.
+
+TPU-native analogue of the reference's single cooperative PCG kernel
+(GBD-PCG; launched at pcg/sqp.cuh:230): the BTD matrix, preconditioner, and
+all CG vectors live on-chip for the entire solve, eliminating per-iteration
+dispatch and HBM traffic.
+
+Data layout: the knot axis is mapped to the TPU *lane* dimension so every
+per-block operation vectorizes across knots:
+
+    S  packed as (3, n, n, N)  — S[d, i, j, k] = block-diag d, entry (i,j), knot k
+    x  packed as (n, N)
+
+The BTD matvec is then 3*n fused multiply-accumulates of (n, N) tiles, and
+the off-diagonal alignment x_{k-1} / x_{k+1} is a lane roll (the circular
+wraparound rows hit the structurally-zero corner blocks S[0,0] / S[N-1,2],
+exactly like the ring halo in parallel/pcg_sharded.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mpcgpu_tpu.ops.pcg import PCGResult
+
+
+def _matvec_lanes(M, x):
+    """y = BTD matvec with knots on lanes. M: (3, n, n, N), x: (n, N).
+
+    The j-contraction is unrolled into n fused multiply-accumulates of (n, N)
+    VPU tiles (j is a static tiny dim); sublane-broadcast of the (1, N) rows
+    avoids Mosaic relayouts of size-1 logical dims.
+    """
+    n, N = x.shape
+    x_prev = pltpu.roll(x, 1, axis=1)        # x[k-1] aligned at lane k
+    x_next = pltpu.roll(x, N - 1, axis=1)    # x[k+1] aligned at lane k
+
+    def contract(Md, xd):
+        acc = Md[:, 0, :] * xd[0:1, :]
+        for j in range(1, n):
+            acc = acc + Md[:, j, :] * xd[j : j + 1, :]
+        return acc
+
+    return contract(M[1], x) + contract(M[0], x_prev) + contract(M[2], x_next)
+
+
+def _pcg_kernel(gamma_ref, lam0_ref, S_ref, Pinv_ref, max_iter_ref, tol_ref,
+                lam_ref, iters_ref, conv_ref):
+    S = S_ref[:]
+    Pinv = Pinv_ref[:]
+    gamma = gamma_ref[:]
+    lam0 = lam0_ref[:]
+    max_iter = max_iter_ref[0]
+    tol = tol_ref[0]
+
+    r0 = gamma - _matvec_lanes(S, lam0)
+    z0 = _matvec_lanes(Pinv, r0)
+    eta0 = jnp.sum(r0 * z0)
+
+    def cond(state):
+        _, _, _, _, it, done = state
+        return jnp.logical_and(it < max_iter, jnp.logical_not(done))
+
+    def body(state):
+        lam, r, p, eta, it, _ = state
+        Sp = _matvec_lanes(S, p)
+        alpha = eta / jnp.sum(p * Sp)
+        lam = lam + alpha * p
+        r = r - alpha * Sp
+        z = _matvec_lanes(Pinv, r)
+        eta_new = jnp.sum(r * z)
+        done = jnp.abs(eta_new) < tol
+        p = z + (eta_new / eta) * p
+        return (lam, r, p, eta_new, it + 1, done)
+
+    init = (lam0, r0, z0, eta0, jnp.int32(0), jnp.abs(eta0) < tol)
+    lam, r, p, eta, it, done = jax.lax.while_loop(cond, body, init)
+
+    lam_ref[:] = lam
+    iters_ref[0] = it
+    conv_ref[0] = done.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("max_iter", "interpret"))
+def pcg_solve_pallas(S, Pinv, gamma, lam0, max_iter: int = 173, exit_tol=1e-6,
+                     interpret: bool = False) -> PCGResult:
+    """Drop-in replacement for ops.pcg.pcg_solve (single chip, fused kernel).
+
+    Accepts the standard (N, 3, n, n) BTD layout; transposition to the
+    lane-packed layout happens in XLA (fused with upstream Schur formation).
+    """
+    N, _, n, _ = S.shape
+    dtype = gamma.dtype
+
+    S_l = jnp.transpose(S, (1, 2, 3, 0))       # (3, n, n, N)
+    P_l = jnp.transpose(Pinv, (1, 2, 3, 0))
+    g_l = jnp.transpose(gamma, (1, 0))          # (n, N)
+    l_l = jnp.transpose(lam0, (1, 0))
+
+    max_iter_arr = jnp.asarray([max_iter], jnp.int32)
+    tol_arr = jnp.asarray([exit_tol], dtype)
+
+    lam_l, iters, conv = pl.pallas_call(
+        _pcg_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, N), dtype),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=interpret,
+    )(g_l, l_l, S_l, P_l, max_iter_arr, tol_arr)
+
+    return PCGResult(
+        lam=jnp.transpose(lam_l, (1, 0)),
+        iters=iters[0],
+        converged=conv[0].astype(jnp.bool_),
+    )

@@ -40,6 +40,8 @@ from typing import TYPE_CHECKING
 import jax
 import jax.numpy as jnp
 
+from mpcgpu_tpu.ops.smallmat import gj_inverse
+
 if TYPE_CHECKING:  # avoid a circular import; KKTBlocks is duck-typed here
     from mpcgpu_tpu.solver.kkt import KKTBlocks
 
@@ -55,13 +57,11 @@ class SchurSystem:
 
 
 def _inv_blocks(M):
-    """Batched SPD inverse (N, n, n) -> (N, n, n).
-
-    The reference inverts these blocks with in-place Gauss-Jordan without
-    pivoting (utils/matrix.cuh:120-238); a batched LU solve is the
-    TPU-friendly equivalent (blocks are rho-regularized SPD)."""
-    eye = jnp.eye(M.shape[-1], dtype=M.dtype)
-    return jnp.linalg.solve(M, jnp.broadcast_to(eye, M.shape))
+    """Batched SPD inverse (N, n, n) -> (N, n, n) via unrolled Gauss-Jordan
+    (ops/smallmat.py) — same algorithm as the reference's invertMatrix
+    (utils/matrix.cuh:120-238), vectorized over the knot batch instead of
+    thread-strided; avoids XLA's generic loop-based LU on tiny blocks."""
+    return gj_inverse(M)
 
 
 def form_schur_system(

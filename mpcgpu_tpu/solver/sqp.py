@@ -74,6 +74,15 @@ def sqp_solve(
                 max_iter=pcg_cfg.max_iter, exit_tol=pcg_cfg.exit_tol,
             )
             return res.lam, res.iters, res.converged
+        elif linsys == "pcg_pallas":
+            from mpcgpu_tpu.ops.pcg_pallas import pcg_solve_pallas
+
+            res = pcg_solve_pallas(
+                schur.S, schur.Pinv, schur.gamma, lam,
+                max_iter=pcg_cfg.max_iter, exit_tol=pcg_cfg.exit_tol,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return res.lam, res.iters, res.converged
         elif linsys == "ldl":
             lam_new = btd_ldl_solve(schur.S, schur.gamma)
             return lam_new, jnp.int32(1), jnp.bool_(True)

@@ -1,0 +1,52 @@
+"""Fused Pallas PCG kernel vs the lax.while_loop reference implementation
+(interpret mode on CPU; the same kernel compiles to Mosaic on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpcgpu_tpu.ops.btd import btd_to_dense
+from mpcgpu_tpu.ops.pcg import pcg_solve
+from mpcgpu_tpu.ops.pcg_pallas import pcg_solve_pallas
+
+
+def _make_system(N=64, n=14, seed=0, dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    S = np.zeros((N, 3, n, n), dtype)
+    for k in range(N):
+        A = rng.standard_normal((n, n)).astype(dtype) * 0.3
+        S[k, 1] = A @ A.T + 3 * np.eye(n, dtype=dtype)
+        if k > 0:
+            S[k, 0] = rng.standard_normal((n, n)).astype(dtype) * 0.1
+    for k in range(N - 1):
+        S[k, 2] = S[k + 1, 0].T
+    D = np.stack([np.linalg.inv(S[k, 1]) for k in range(N)])
+    P = np.zeros_like(S)
+    for k in range(N):
+        P[k, 1] = D[k]
+        if k > 0:
+            P[k, 0] = -D[k] @ S[k, 0] @ D[k - 1]
+        if k < N - 1:
+            P[k, 2] = -D[k] @ S[k, 2] @ D[k + 1]
+    gamma = rng.standard_normal((N, n)).astype(dtype)
+    return map(jnp.asarray, (S, P, gamma, np.zeros((N, n), dtype)))
+
+
+def test_pallas_pcg_matches_while_loop():
+    S, P, gamma, lam0 = _make_system()
+    ref = pcg_solve(S, P, gamma, lam0, max_iter=200, exit_tol=1e-10)
+    got = pcg_solve_pallas(S, P, gamma, lam0, max_iter=200, exit_tol=1e-10, interpret=True)
+    assert bool(got.converged)
+    assert int(got.iters) == int(ref.iters)
+    np.testing.assert_allclose(np.asarray(got.lam), np.asarray(ref.lam), atol=1e-5)
+
+
+def test_pallas_pcg_solves_system():
+    S, P, gamma, lam0 = _make_system(N=32, n=14, seed=3)
+    got = pcg_solve_pallas(S, P, gamma, lam0, max_iter=300, exit_tol=1e-12, interpret=True)
+    dense = np.linalg.solve(np.asarray(btd_to_dense(S), np.float64),
+                            np.asarray(gamma, np.float64).ravel())
+    np.testing.assert_allclose(
+        np.asarray(got.lam).ravel(), dense, atol=1e-4
+    )
