@@ -74,3 +74,6 @@ class SimConfig:
     sim_step_time: float = 2e-4             # plant substep (integrator.cuh:304)
     max_control_updates: int = 100000
     remove_jitters: int = 0                 # warm-up solve count (mpcsim.cuh:222-242)
+    # when True, replicate sqpTimecheck (pcg/sqp.cuh:161-169) host-side:
+    # issue 1-SQP-iteration solves until SQPConfig.max_time_us is exhausted.
+    time_budget_mode: bool = False

@@ -49,46 +49,62 @@ def _matvec_lanes(M, x):
     return contract(M[1], x) + contract(M[0], x_prev) + contract(M[2], x_next)
 
 
-def _pcg_kernel(gamma_ref, lam0_ref, S_ref, Pinv_ref, max_iter_ref, tol_ref,
-                lam_ref, iters_ref, conv_ref):
-    S = S_ref[:]
-    Pinv = Pinv_ref[:]
-    gamma = gamma_ref[:]
-    lam0 = lam0_ref[:]
-    max_iter = max_iter_ref[0]
-    tol = tol_ref[0]
+def _make_pcg_kernel(unroll: int):
+    def _pcg_kernel(gamma_ref, lam0_ref, S_ref, Pinv_ref, max_iter_ref, tol_ref,
+                    lam_ref, iters_ref, conv_ref):
+        S = S_ref[:]
+        Pinv = Pinv_ref[:]
+        gamma = gamma_ref[:]
+        lam0 = lam0_ref[:]
+        max_iter = max_iter_ref[0]
+        tol = tol_ref[0]
 
-    r0 = gamma - _matvec_lanes(S, lam0)
-    z0 = _matvec_lanes(Pinv, r0)
-    eta0 = jnp.sum(r0 * z0)
+        r0 = gamma - _matvec_lanes(S, lam0)
+        z0 = _matvec_lanes(Pinv, r0)
+        eta0 = jnp.sum(r0 * z0)
 
-    def cond(state):
-        _, _, _, _, it, done = state
-        return jnp.logical_and(it < max_iter, jnp.logical_not(done))
+        def step(state):
+            """One exact CG update; no-op (masked) once done/capped."""
+            lam, r, p, eta, it, done = state
+            Sp = _matvec_lanes(S, p)
+            alpha = eta / jnp.sum(p * Sp)
+            lam_n = lam + alpha * p
+            r_n = r - alpha * Sp
+            z = _matvec_lanes(Pinv, r_n)
+            eta_n = jnp.sum(r_n * z)
+            done_n = jnp.abs(eta_n) < tol
+            p_n = z + (eta_n / eta) * p
+            skip = jnp.logical_or(done, it >= max_iter)
+            sel = lambda a, b: jnp.where(skip, a, b)
+            return (
+                sel(lam, lam_n), sel(r, r_n), sel(p, p_n), sel(eta, eta_n),
+                sel(it, it + 1), jnp.logical_or(done, done_n),
+            )
 
-    def body(state):
-        lam, r, p, eta, it, _ = state
-        Sp = _matvec_lanes(S, p)
-        alpha = eta / jnp.sum(p * Sp)
-        lam = lam + alpha * p
-        r = r - alpha * Sp
-        z = _matvec_lanes(Pinv, r)
-        eta_new = jnp.sum(r * z)
-        done = jnp.abs(eta_new) < tol
-        p = z + (eta_new / eta) * p
-        return (lam, r, p, eta_new, it + 1, done)
+        def cond(state):
+            *_, it, done = state
+            return jnp.logical_and(it < max_iter, jnp.logical_not(done))
 
-    init = (lam0, r0, z0, eta0, jnp.int32(0), jnp.abs(eta0) < tol)
-    lam, r, p, eta, it, done = jax.lax.while_loop(cond, body, init)
+        def body(state):
+            # `unroll` masked exact iterations per while step amortizes the
+            # Mosaic loop-control overhead (compute per iteration is tiny)
+            for _ in range(unroll):
+                state = step(state)
+            return state
 
-    lam_ref[:] = lam
-    iters_ref[0] = it
-    conv_ref[0] = done.astype(jnp.int32)
+        init = (lam0, r0, z0, eta0, jnp.int32(0), jnp.abs(eta0) < tol)
+        lam, r, p, eta, it, done = jax.lax.while_loop(cond, body, init)
+
+        lam_ref[:] = lam
+        iters_ref[0] = it
+        conv_ref[0] = done.astype(jnp.int32)
+
+    return _pcg_kernel
 
 
-@partial(jax.jit, static_argnames=("max_iter", "interpret"))
+@partial(jax.jit, static_argnames=("max_iter", "interpret", "unroll"))
 def pcg_solve_pallas(S, Pinv, gamma, lam0, max_iter: int = 173, exit_tol=1e-6,
-                     interpret: bool = False) -> PCGResult:
+                     interpret: bool = False, unroll: int = 4) -> PCGResult:
     """Drop-in replacement for ops.pcg.pcg_solve (single chip, fused kernel).
 
     Accepts the standard (N, 3, n, n) BTD layout; transposition to the
@@ -106,7 +122,7 @@ def pcg_solve_pallas(S, Pinv, gamma, lam0, max_iter: int = 173, exit_tol=1e-6,
     tol_arr = jnp.asarray([exit_tol], dtype)
 
     lam_l, iters, conv = pl.pallas_call(
-        _pcg_kernel,
+        _make_pcg_kernel(unroll),
         out_shape=(
             jax.ShapeDtypeStruct((n, N), dtype),
             jax.ShapeDtypeStruct((1,), jnp.int32),

@@ -148,6 +148,39 @@ def simulate_mpc(
     rho = jnp.asarray(1e-3, dtype)
 
     solver = make_sqp_solver(model, cost, sqp_cfg, pcg_cfg, timestep, linsys=linsys, donate=False)
+    if sim_cfg.time_budget_mode:
+        one_iter_cfg = dataclasses.replace(sqp_cfg, max_iter=1)
+        solver_1 = make_sqp_solver(
+            model, cost, one_iter_cfg, pcg_cfg, timestep, linsys=linsys, donate=False
+        )
+
+        def solve_budgeted(xu, lam, xs, ee_goal, rho):
+            """Chunked 1-iteration solves under the SQP_MAX_TIME_US wall cap
+            (stage-granular in the reference, iteration-granular here)."""
+            budget_s = (sqp_cfg.max_time_us or 2000.0) * 1e-6
+            t0 = time.perf_counter()
+            agg_iters, agg_conv, agg_alpha = [], [], []
+            res = None
+            for _ in range(sqp_cfg.max_iter):
+                res = solver_1(xu, lam, xs, ee_goal, rho)
+                jax.block_until_ready(res.xu)
+                xu, lam, rho = res.xu, res.lam, res.rho
+                agg_iters.append(int(res.pcg_iters[0]))
+                agg_conv.append(bool(res.pcg_converged[0]))
+                agg_alpha.append(int(res.ls_alpha_idx[0]))
+                if bool(res.gave_up) or time.perf_counter() - t0 > budget_s:
+                    break
+            n = len(agg_iters)
+            pad = sqp_cfg.max_iter - n
+            return res._replace(
+                xu=xu, lam=lam, rho=rho,
+                sqp_iters=jnp.int32(n),
+                pcg_iters=jnp.asarray(agg_iters + [-1] * pad, jnp.int32),
+                pcg_converged=jnp.asarray(agg_conv + [False] * pad),
+                ls_alpha_idx=jnp.asarray(agg_alpha + [-1] * pad, jnp.int32),
+            )
+
+        solver = solve_budgeted
 
     # plant substep counts are static (const-update-freq mode)
     sim_time_s = sim_cfg.simulation_period_us * 1e-6
@@ -159,7 +192,7 @@ def simulate_mpc(
         jax.block_until_ready(res.xu)
 
     stats = MPCStats([], [], [], [], [], [], [])
-    stats.tracking_path.append(np.asarray(xs))
+    stats.tracking_path.append(xs)
 
     shift_threshold = sim_cfg.shift_threshold_frac * timestep
     time_since_timestep = 0.0
@@ -177,12 +210,13 @@ def simulate_mpc(
         sqp_time_us = (time.perf_counter() - t0) * 1e6
         xu, lam, rho = res.xu, res.lam, res.rho
 
-        n_iters = int(res.sqp_iters)
-        stats.linsys_iters.append(np.asarray(res.pcg_iters[:n_iters]))
-        stats.linsys_exits.append(np.asarray(res.pcg_converged[:n_iters]))
+        # stats stay on device; one conversion pass after the loop (the
+        # reference D2H-copies per step, mpcsim.cuh:361 — pointless here)
+        stats.linsys_iters.append(res.pcg_iters)
+        stats.linsys_exits.append(res.pcg_converged)
         stats.sqp_times_us.append(sqp_time_us)
-        stats.sqp_iters.append(n_iters)
-        stats.sqp_exits.append(bool(res.gave_up))
+        stats.sqp_iters.append(res.sqp_iters)
+        stats.sqp_exits.append(res.gave_up)
 
         sim_time_us = (
             sim_cfg.simulation_period_us if sim_cfg.const_update_freq else sqp_time_us
@@ -199,9 +233,9 @@ def simulate_mpc(
 
         if not shifted and time_since_timestep > shift_threshold:
             # record tracking error before shifting the goal (mpcsim.cuh:300-309)
-            ee = np.asarray(_ee_xyz(model, xs[:nq]))
-            err = float(np.abs(ee - np.asarray(ee_goal[0, :3])).sum())
-            stats.tracking_errors.append(err)
+            stats.tracking_errors.append(
+                jnp.abs(_ee_xyz(model, xs[:nq]) - ee_goal[0, :3]).sum()
+            )
             traj_offset += 1
 
             if traj_offset + N < traj_steps:
@@ -227,15 +261,31 @@ def simulate_mpc(
         xu = xu.at[0, :nx].set(xs)
         prev_sim_time = sim_time_us
 
-        stats.tracking_path.append(np.asarray(xs))
+        stats.tracking_path.append(xs)
 
-        if verbose and step % 50 == 0:
+        if verbose and step % 200 == 0:
             print(
-                f"step {step:5d} offset {traj_offset:4d} "
-                f"sqp {sqp_time_us:8.1f}us iters {n_iters} "
-                f"err {stats.tracking_errors[-1] if stats.tracking_errors else float('nan'):.4f}"
+                f"step {step:5d} offset {traj_offset:4d} sqp {sqp_time_us:8.1f}us"
             )
 
-    ee = np.asarray(_ee_xyz(model, xs[:nq]))
-    stats.final_tracking_error = float(np.abs(ee - np.asarray(ee_goal[0, :3])).sum())
+    stats.final_tracking_error = float(
+        jnp.abs(_ee_xyz(model, xs[:nq]) - ee_goal[0, :3]).sum()
+    )
+    _finalize_stats(stats)
     return stats
+
+
+def _finalize_stats(stats: MPCStats) -> None:
+    """Convert deferred device values to host (one sync at end of run)."""
+    sqp_iters = [int(v) for v in np.asarray(jnp.stack(stats.sqp_iters))] if stats.sqp_iters else []
+    iters_np = np.asarray(jnp.stack(stats.linsys_iters)) if stats.linsys_iters else np.zeros((0, 1))
+    exits_np = np.asarray(jnp.stack(stats.linsys_exits)) if stats.linsys_exits else np.zeros((0, 1))
+    stats.linsys_iters = [iters_np[i, : sqp_iters[i]] for i in range(len(sqp_iters))]
+    stats.linsys_exits = [exits_np[i, : sqp_iters[i]] for i in range(len(sqp_iters))]
+    stats.sqp_iters = sqp_iters
+    stats.sqp_exits = [bool(v) for v in np.asarray(jnp.stack(stats.sqp_exits))] if stats.sqp_exits else []
+    stats.tracking_errors = (
+        [float(v) for v in np.asarray(jnp.stack(stats.tracking_errors))]
+        if stats.tracking_errors else []
+    )
+    stats.tracking_path = list(np.asarray(jnp.stack(stats.tracking_path)))

@@ -44,21 +44,51 @@ class KKTBlocks:
     c: jax.Array        # (N, nx) constraint residuals; c[0] = x0 - xs
 
 
-def euler_step_and_jacobians(model: RobotModel, x, u, dt):
-    """One Euler step x+ = x + dt*[qd; qdd] and its Jacobians.
+def integrator_step(model: RobotModel, x, u, dt, integrator_type: int = 0):
+    """One integrator step (no Jacobians). Types as in integrator.cuh:22-57:
+    0 = explicit Euler, 1 = semi-implicit Euler."""
+    nq = model.nq
+    q, qd = x[:nq], x[nq:]
+    qdd = dynamics.forward_dynamics(model, q, qd, u)
+    if integrator_type == 0:
+        return jnp.concatenate([q + dt * qd, qd + dt * qdd])
+    elif integrator_type == 1:
+        qd_n = qd + dt * qdd
+        return jnp.concatenate([q + dt * qd_n, qd_n])
+    raise ValueError(f"integrator_type {integrator_type} not in (0, 1)")
 
-    Matches exec_integrator / exec_integrator_gradient with INTEGRATOR_TYPE=0
-    (integrator.cuh:103-130, :59-80):
-        A = I + dt * [[0, I], [dqdd/dq, dqdd/dqd]],  B = [0; dt * M^{-1}].
+
+def euler_step_and_jacobians(model: RobotModel, x, u, dt, integrator_type: int = 0):
+    """One integrator step x+ and its Jacobians.
+
+    Matches exec_integrator / exec_integrator_gradient
+    (integrator.cuh:103-130, :59-100):
+      type 0 (Euler):        A = I + dt*[[0, I], [dqdd/dq, dqdd/dqd]],
+                             B = [0; dt * M^{-1}]
+      type 1 (semi-implicit): qd+ = qd + dt*qdd; q+ = q + dt*qd+;
+                             A = [[I + dt^2 dq, dt I + dt^2 dqd],
+                                  [dt dq,       I + dt dqd     ]],
+                             B = [dt^2 M^{-1}; dt M^{-1}]
     """
     nq = model.nq
     q, qd = x[:nq], x[nq:]
     qdd, dq, dqd, minv = dynamics.fd_and_gradient(model, q, qd, u)
-    xnext = jnp.concatenate([q + dt * qd, qd + dt * qdd])
     eye = jnp.eye(nq, dtype=x.dtype)
     zero = jnp.zeros((nq, nq), dtype=x.dtype)
-    A = jnp.block([[eye, dt * eye], [dt * dq, eye + dt * dqd]])
-    B = jnp.concatenate([zero, dt * minv], axis=0)
+    if integrator_type == 0:
+        xnext = jnp.concatenate([q + dt * qd, qd + dt * qdd])
+        A = jnp.block([[eye, dt * eye], [dt * dq, eye + dt * dqd]])
+        B = jnp.concatenate([zero, dt * minv], axis=0)
+    elif integrator_type == 1:
+        qd_n = qd + dt * qdd
+        xnext = jnp.concatenate([q + dt * qd_n, qd_n])
+        A = jnp.block(
+            [[eye + dt * dt * dq, dt * eye + dt * dt * dqd],
+             [dt * dq, eye + dt * dqd]]
+        )
+        B = jnp.concatenate([dt * dt * minv, dt * minv], axis=0)
+    else:
+        raise ValueError(f"integrator_type {integrator_type} not in (0, 1)")
     return xnext, A, B
 
 
@@ -85,7 +115,9 @@ def tracking_cost_grad_hess(model: RobotModel, cost: CostConfig, x, u, ee_goal):
     return Q, grad, R, r
 
 
-def build_kkt(model: RobotModel, cost: CostConfig, xu, xs, ee_goal, dt) -> KKTBlocks:
+def build_kkt(
+    model: RobotModel, cost: CostConfig, xu, xs, ee_goal, dt, integrator_type: int = 0
+) -> KKTBlocks:
     """Assemble all KKT blocks for the current iterate (jit-friendly).
 
     Args:
@@ -93,6 +125,7 @@ def build_kkt(model: RobotModel, cost: CostConfig, xu, xs, ee_goal, dt) -> KKTBl
       xs: (nx,) measured initial state.
       ee_goal: (N, 6) ee goal trace.
       dt: knot timestep (static python float ok, traced ok).
+      integrator_type: 0 Euler / 1 semi-implicit (static).
     """
     nq = model.nq
     nx = 2 * nq
@@ -101,9 +134,9 @@ def build_kkt(model: RobotModel, cost: CostConfig, xu, xs, ee_goal, dt) -> KKTBl
     u = xu[:, nx:]
 
     # dynamics linearization at knots 0..N-2
-    xnext, A, B = jax.vmap(lambda xx, uu: euler_step_and_jacobians(model, xx, uu, dt))(
-        x[:-1], u[:-1]
-    )
+    xnext, A, B = jax.vmap(
+        lambda xx, uu: euler_step_and_jacobians(model, xx, uu, dt, integrator_type)
+    )(x[:-1], u[:-1])
     defect = x[1:] - xnext
     c = jnp.concatenate([(x[0] - xs)[None], defect], axis=0)
 

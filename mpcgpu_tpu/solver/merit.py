@@ -44,15 +44,17 @@ def tracking_cost(model: RobotModel, cost: CostConfig, xu, ee_goal):
     return jnp.sum(per_knot)
 
 
-def constraint_l1(model: RobotModel, xu, xs, dt, include_x0: bool):
+def constraint_l1(model: RobotModel, xu, xs, dt, include_x0: bool,
+                  integrator_type: int = 0):
     """mu-free total l1 constraint violation over knots."""
+    from mpcgpu_tpu.solver.kkt import integrator_step
+
     nq = model.nq
     nx = 2 * nq
     x, u = xu[:, :nx], xu[:, nx:]
 
     def defect(xk, uk, xk1):
-        qdd = dynamics.forward_dynamics(model, xk[:nq], xk[nq:], uk)
-        xnext = jnp.concatenate([xk[:nq] + dt * xk[nq:], xk[nq:] + dt * qdd])
+        xnext = integrator_step(model, xk, uk, dt, integrator_type)
         return jnp.sum(jnp.abs(xk1 - xnext))
 
     defects = jax.vmap(defect)(x[:-1], u[:-1], x[1:])
@@ -63,16 +65,18 @@ def constraint_l1(model: RobotModel, xu, xs, dt, include_x0: bool):
 
 
 def merit_function(
-    model: RobotModel, cost: CostConfig, xu, xs, ee_goal, mu, dt, include_x0: bool
+    model: RobotModel, cost: CostConfig, xu, xs, ee_goal, mu, dt, include_x0: bool,
+    integrator_type: int = 0,
 ):
     """phi(xu) = sum_k J_k + mu * sum_k |c_k|_1."""
     return tracking_cost(model, cost, xu, ee_goal) + mu * constraint_l1(
-        model, xu, xs, dt, include_x0
+        model, xu, xs, dt, include_x0, integrator_type
     )
 
 
 def line_search_merits(
-    model: RobotModel, cost: CostConfig, xu, dz, xs, ee_goal, mu, dt, num_alphas: int = 8
+    model: RobotModel, cost: CostConfig, xu, dz, xs, ee_goal, mu, dt,
+    num_alphas: int = 8, integrator_type: int = 0,
 ):
     """Merit at xu + alpha_i dz for alpha_i = -1/2^i, i = 0..num_alphas-1.
 
@@ -82,6 +86,9 @@ def line_search_merits(
 
     def merit_at(alpha):
         cand = xu + alpha * dz
-        return merit_function(model, cost, cand, xs, ee_goal, mu, dt, include_x0=True)
+        return merit_function(
+            model, cost, cand, xs, ee_goal, mu, dt, include_x0=True,
+            integrator_type=integrator_type,
+        )
 
     return jax.vmap(merit_at)(alphas), alphas

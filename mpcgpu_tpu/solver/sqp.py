@@ -54,6 +54,7 @@ def sqp_solve(
     dt,
     linsys: str = "pcg",
     max_sqp_iter: int | None = None,
+    integrator_type: int = 0,
 ) -> SQPResult:
     """One SQP solve. All array args traced; model/configs/linsys static."""
     N = xu.shape[0]
@@ -65,7 +66,10 @@ def sqp_solve(
     mu = jnp.asarray(sqp_cfg.mu, dtype)
     dt = jnp.asarray(dt, dtype)
 
-    merit0 = merit_function(model, cost, xu, xs, ee_goal, mu, dt, include_x0=False)
+    merit0 = merit_function(
+        model, cost, xu, xs, ee_goal, mu, dt, include_x0=False,
+        integrator_type=integrator_type,
+    )
 
     def solve_linsys(schur, lam):
         if linsys == "pcg":
@@ -96,13 +100,14 @@ def sqp_solve(
         xu, lam, rho, drho = state["xu"], state["lam"], state["rho"], state["drho"]
         it = state["it"]
 
-        kkt = build_kkt(model, cost, xu, xs, ee_goal, dt)
+        kkt = build_kkt(model, cost, xu, xs, ee_goal, dt, integrator_type)
         schur = form_schur_system(kkt, rho, preconditioner=pcg_cfg.preconditioner)
         lam, lin_iters, lin_ok = solve_linsys(schur, lam)
         dz = compute_dz(kkt, schur, lam)
 
         merits, alphas = line_search_merits(
-            model, cost, xu, dz, xs, ee_goal, mu, dt, num_alphas=sqp_cfg.num_alphas
+            model, cost, xu, dz, xs, ee_goal, mu, dt,
+            num_alphas=sqp_cfg.num_alphas, integrator_type=integrator_type,
         )
         best = jnp.argmin(merits)
         min_merit = merits[best]
@@ -174,6 +179,7 @@ def make_sqp_solver(
     dt: float,
     linsys: str = "pcg",
     donate: bool = True,
+    integrator_type: int = 0,
 ):
     """Build a jitted solver fn(xu, lam, xs, ee_goal, rho) -> SQPResult.
 
@@ -183,7 +189,8 @@ def make_sqp_solver(
 
     def _solve(xu, lam, xs, ee_goal, rho):
         return sqp_solve(
-            model, cost, sqp_cfg, pcg_cfg, xu, lam, xs, ee_goal, rho, dt, linsys=linsys
+            model, cost, sqp_cfg, pcg_cfg, xu, lam, xs, ee_goal, rho, dt,
+            linsys=linsys, integrator_type=integrator_type,
         )
 
     donate_argnums = (0, 1) if donate else ()
