@@ -22,6 +22,16 @@ class CostConfig:
 
     qd_cost: float = 1e-4           # QD_COST
     r_cost: float = 1e-4            # R_COST (reference uses 1e-3 when N==64)
+    # cost mode: "ee" = end-effector xyz tracking (iiwa_eepos_plant.cuh, the
+    # active reference build); "joint" = joint-state reference tracking
+    # (iiwa_plant.cuh, the reference's inactive variant). In joint mode the
+    # goal array is the (N, nx) state reference and q_cost weighs positions.
+    mode: str = "ee"
+    q_cost: float = 1.0             # Q_COST (joint mode only)
+    # penalize qd absolutely instead of relative to the reference
+    # (ABSOLUTE_QD_PENALTY, settings.cuh:79; joint mode only — ee mode is
+    # always absolute, iiwa_eepos_plant.cuh:263)
+    absolute_qd_penalty: bool = False
     # Evaluate the terminal cost gradient/Hessian at the last state x_{N-1}.
     # The reference evaluates it at x_{N-2} (iiwa_eepos_plant.cuh:399 passes
     # s_xux, i.e. knot N-2's state, to the terminal block); set False to

@@ -19,12 +19,14 @@ import jax.numpy as jnp
 from mpcgpu_tpu.models.robot import RobotModel
 from mpcgpu_tpu.models.spatial import crf_apply, crm_apply
 from mpcgpu_tpu.ops.smallmat import gj_inverse, gj_solve_vec
+from mpcgpu_tpu.precision import highest_precision
 
 # ---------------------------------------------------------------------------
 # forward kinematics
 # ---------------------------------------------------------------------------
 
 
+@highest_precision
 def fk_ee_hom(model: RobotModel, q: jax.Array) -> jax.Array:
     """Base->end-effector homogeneous transform.
 
@@ -38,11 +40,13 @@ def fk_ee_hom(model: RobotModel, q: jax.Array) -> jax.Array:
     return T
 
 
+@highest_precision
 def fk_ee_xyz(model: RobotModel, q: jax.Array) -> jax.Array:
     """End-effector position (3,)."""
     return fk_ee_hom(model, q)[0:3, 3]
 
 
+@highest_precision
 def fk_ee(model: RobotModel, q: jax.Array) -> jax.Array:
     """End-effector pose (6,) = [xyz, roll, pitch, yaw].
 
@@ -55,6 +59,7 @@ def fk_ee(model: RobotModel, q: jax.Array) -> jax.Array:
     return jnp.concatenate([T[0:3, 3], jnp.stack([roll, pitch, yaw])])
 
 
+@highest_precision
 def fk_ee_xyz_and_jac(model: RobotModel, q: jax.Array):
     """(ee_xyz (3,), d ee_xyz / dq (3, nq)).
 
@@ -71,6 +76,7 @@ def fk_ee_xyz_and_jac(model: RobotModel, q: jax.Array):
 # ---------------------------------------------------------------------------
 
 
+@highest_precision
 def rnea(model: RobotModel, q: jax.Array, qd: jax.Array, qdd=None) -> jax.Array:
     """Recursive Newton-Euler inverse dynamics: tau = ID(q, qd, qdd).
 
@@ -114,6 +120,7 @@ def rnea(model: RobotModel, q: jax.Array, qd: jax.Array, qdd=None) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+@highest_precision
 def mass_matrix(model: RobotModel, q: jax.Array) -> jax.Array:
     """Joint-space inertia matrix M(q) via CRBA (nq, nq).
 
@@ -142,11 +149,13 @@ def mass_matrix(model: RobotModel, q: jax.Array) -> jax.Array:
     return jnp.triu(M) + jnp.triu(M, 1).T
 
 
+@highest_precision
 def minv(model: RobotModel, q: jax.Array) -> jax.Array:
     """Dense M(q)^{-1} (direct_minv_inner equivalent)."""
     return gj_inverse(mass_matrix(model, q))
 
 
+@highest_precision
 def forward_dynamics(model: RobotModel, q, qd, u) -> jax.Array:
     """qdd = M(q)^{-1} (u - c(q, qd)).
 
@@ -159,6 +168,7 @@ def forward_dynamics(model: RobotModel, q, qd, u) -> jax.Array:
     return gj_solve_vec(M, u - c)
 
 
+@highest_precision
 def fd_and_gradient(model: RobotModel, q, qd, u):
     """(qdd, dqdd_dq (nq,nq), dqdd_dqd (nq,nq), dqdd_du = M^{-1} (nq,nq)).
 

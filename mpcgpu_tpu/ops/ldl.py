@@ -18,8 +18,10 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from mpcgpu_tpu.precision import highest_precision
 
 
+@highest_precision
 def btd_ldl_factor(S):
     """Factor BTD S (N,3,n,n) -> (D (N,n,n), L (N-1,n,n))."""
     theta = S[:, 1]
@@ -37,6 +39,7 @@ def btd_ldl_factor(S):
     return D, L
 
 
+@highest_precision
 def btd_ldl_solve(S, b):
     """Direct solve S x = b for SPD BTD S; returns (N,n)."""
     D, L = btd_ldl_factor(S)

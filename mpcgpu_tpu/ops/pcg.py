@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from mpcgpu_tpu.ops.btd import btd_matvec
+from mpcgpu_tpu.precision import highest_precision
 
 
 class PCGResult(NamedTuple):
@@ -27,6 +28,7 @@ class PCGResult(NamedTuple):
     converged: jax.Array  # () bool — True if exit_tol reached before max_iter
 
 
+@highest_precision
 @partial(jax.jit, static_argnames=("max_iter",))
 def pcg_solve(S, Pinv, gamma, lam0, max_iter: int = 173, exit_tol=1e-6) -> PCGResult:
     """Solve S lam = gamma with BTD S and BTD preconditioner Pinv.

@@ -27,6 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mpcgpu_tpu.ops.pcg import PCGResult
+from mpcgpu_tpu.precision import highest_precision
 
 
 def _matvec_lanes(M, x):
@@ -102,6 +103,7 @@ def _make_pcg_kernel(unroll: int):
     return _pcg_kernel
 
 
+@highest_precision
 @partial(jax.jit, static_argnames=("max_iter", "interpret", "unroll"))
 def pcg_solve_pallas(S, Pinv, gamma, lam0, max_iter: int = 173, exit_tol=1e-6,
                      interpret: bool = False, unroll: int = 4) -> PCGResult:

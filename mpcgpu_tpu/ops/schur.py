@@ -41,6 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from mpcgpu_tpu.ops.smallmat import gj_inverse
+from mpcgpu_tpu.precision import highest_precision
 
 if TYPE_CHECKING:  # avoid a circular import; KKTBlocks is duck-typed here
     from mpcgpu_tpu.solver.kkt import KKTBlocks
@@ -64,6 +65,7 @@ def _inv_blocks(M):
     return gj_inverse(M)
 
 
+@highest_precision
 def form_schur_system(
     kkt: "KKTBlocks", rho, preconditioner: str = "stair"
 ) -> SchurSystem:
@@ -133,6 +135,7 @@ def form_schur_system(
     return SchurSystem(S=S, Pinv=Pinv, gamma=gamma, Qinv=Qinv, Rinv=Rinv)
 
 
+@highest_precision
 def compute_dz(kkt: "KKTBlocks", schur: SchurSystem, lam) -> jax.Array:
     """Primal step recovery from the costate solve (include/common/dz.cuh:3-137).
 

@@ -23,6 +23,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from mpcgpu_tpu.ops.pcg import PCGResult
+from mpcgpu_tpu.precision import highest_precision
 
 
 def _halo_rows(x_loc, axis_name: str):
@@ -90,6 +91,7 @@ def _pcg_local(S_loc, Pinv_loc, gamma_loc, lam_loc, max_iter: int, exit_tol,
     return lam, iters, done
 
 
+@highest_precision
 def pcg_solve_sharded(
     S, Pinv, gamma, lam0, mesh: Mesh, max_iter: int = 173, exit_tol=1e-6,
     knot_axis: str = "knot",

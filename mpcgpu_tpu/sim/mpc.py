@@ -27,6 +27,7 @@ import numpy as np
 from mpcgpu_tpu.config import CostConfig, PCGConfig, SimConfig, SQPConfig
 from mpcgpu_tpu.models import dynamics
 from mpcgpu_tpu.models.robot import RobotModel
+from mpcgpu_tpu.precision import highest_precision
 from mpcgpu_tpu.solver.sqp import make_sqp_solver
 
 
@@ -59,6 +60,7 @@ class MPCStats:
         )
 
 
+@highest_precision
 @partial(jax.jit, static_argnames=("n_steps",))
 def _simulate_plant(model: RobotModel, xs, xu_plan, time_offset_s, sim_time_s,
                     timestep, n_steps: int, sim_step: float):
@@ -88,6 +90,7 @@ def _simulate_plant(model: RobotModel, xs, xu_plan, time_offset_s, sim_time_s,
     return xs_final
 
 
+@highest_precision
 @jax.jit
 def _ee_xyz(model: RobotModel, q):
     return dynamics.fk_ee_xyz(model, q)

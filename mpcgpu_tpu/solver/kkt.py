@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from mpcgpu_tpu.config import CostConfig
 from mpcgpu_tpu.models import dynamics
 from mpcgpu_tpu.models.robot import RobotModel
+from mpcgpu_tpu.precision import highest_precision
 
 
 @jax.tree_util.register_dataclass
@@ -92,29 +93,48 @@ def euler_step_and_jacobians(model: RobotModel, x, u, dt, integrator_type: int =
     return xnext, A, B
 
 
-def tracking_cost_grad_hess(model: RobotModel, cost: CostConfig, x, u, ee_goal):
+def tracking_cost_grad_hess(model: RobotModel, cost: CostConfig, x, u, goal):
     """Per-knot tracking-cost gradient and (reference-style) Hessian.
 
-    Matches trackingCostGradientAndHessian (iiwa_eepos_plant.cuh:295-378):
+    ee mode — matches trackingCostGradientAndHessian
+    (iiwa_eepos_plant.cuh:295-378):
       q[:nq]  = J_ee^T (ee(q) - goal_xyz);     q[nq:] = QD * qd
       Q[:nq,:nq] = outer(q[:nq], q[:nq])   <- the reference's rank-1
                    gradient-outer-product "Gauss-Newton" block
       Q[nq:,nq:] = QD * I;   R = R_COST * I;  r = R_COST * u.
+
+    joint mode — matches the inactive joint-state variant
+    (iiwa_plant.cuh:186-298): diagonal quadratic tracking of the (nx,) state
+    reference with Q_COST / QD_COST weights.
     """
     nq = model.nq
     qpos, qd = x[:nq], x[nq:]
-    ee, J = dynamics.fk_ee_xyz_and_jac(model, qpos)
-    err = ee - ee_goal[:3]
-    gq = J.T @ err
-    grad = jnp.concatenate([gq, cost.qd_cost * qd])
-    Q = jnp.zeros((2 * nq, 2 * nq), dtype=x.dtype)
-    Q = Q.at[:nq, :nq].set(jnp.outer(gq, gq))
-    Q = Q.at[nq:, nq:].set(cost.qd_cost * jnp.eye(nq, dtype=x.dtype))
+    dtype = x.dtype
+    if cost.mode == "ee":
+        ee, J = dynamics.fk_ee_xyz_and_jac(model, qpos)
+        err = ee - goal[:3]
+        gq = J.T @ err
+        grad = jnp.concatenate([gq, cost.qd_cost * qd])
+        Q = jnp.zeros((2 * nq, 2 * nq), dtype=dtype)
+        Q = Q.at[:nq, :nq].set(jnp.outer(gq, gq))
+        Q = Q.at[nq:, nq:].set(cost.qd_cost * jnp.eye(nq, dtype=dtype))
+    elif cost.mode == "joint":
+        qd_err = qd if cost.absolute_qd_penalty else qd - goal[nq : 2 * nq]
+        grad = jnp.concatenate(
+            [cost.q_cost * (qpos - goal[:nq]), cost.qd_cost * qd_err]
+        )
+        diag = jnp.concatenate(
+            [jnp.full((nq,), cost.q_cost, dtype), jnp.full((nq,), cost.qd_cost, dtype)]
+        )
+        Q = jnp.diag(diag)
+    else:
+        raise ValueError(f"unknown cost mode {cost.mode!r}")
     r = cost.r_cost * u
-    R = cost.r_cost * jnp.eye(nq, dtype=x.dtype)
+    R = cost.r_cost * jnp.eye(nq, dtype=dtype)
     return Q, grad, R, r
 
 
+@highest_precision
 def build_kkt(
     model: RobotModel, cost: CostConfig, xu, xs, ee_goal, dt, integrator_type: int = 0
 ) -> KKTBlocks:

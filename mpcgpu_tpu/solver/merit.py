@@ -24,26 +24,39 @@ import jax.numpy as jnp
 from mpcgpu_tpu.config import CostConfig
 from mpcgpu_tpu.models import dynamics
 from mpcgpu_tpu.models.robot import RobotModel
+from mpcgpu_tpu.precision import highest_precision
 
 
-def tracking_cost(model: RobotModel, cost: CostConfig, xu, ee_goal):
-    """Sum of per-knot tracking costs J_k (iiwa_eepos_plant.cuh:240-290).
+@highest_precision
+def tracking_cost(model: RobotModel, cost: CostConfig, xu, goal):
+    """Sum of per-knot tracking costs J_k.
 
-    J_k = 1/2 |ee(q_k) - goal_k|^2 + 1/2 QD |qd_k|^2 + 1/2 R |u_k|^2,
-    control term masked at the terminal knot.
+    ee mode (iiwa_eepos_plant.cuh:240-290):
+      J_k = 1/2 |ee(q_k) - goal_k|^2 + 1/2 QD |qd_k|^2 + 1/2 R |u_k|^2
+    joint mode (iiwa_plant.cuh:130-180):
+      J_k = 1/2 Q |q_k - qref_k|^2 + 1/2 QD |qd_k - qdref_k|^2 + 1/2 R |u_k|^2
+    Control term masked at the terminal knot in both.
     """
     nq = model.nq
     N = xu.shape[0]
     q, qd, u = xu[:, :nq], xu[:, nq : 2 * nq], xu[:, 2 * nq :]
-    ee = jax.vmap(lambda qq: dynamics.fk_ee_xyz(model, qq))(q)
-    ee_err = jnp.sum((ee - ee_goal[:, :3]) ** 2, axis=-1)
-    qd_pen = cost.qd_cost * jnp.sum(qd**2, axis=-1)
+    if cost.mode == "ee":
+        ee = jax.vmap(lambda qq: dynamics.fk_ee_xyz(model, qq))(q)
+        pos_err = jnp.sum((ee - goal[:, :3]) ** 2, axis=-1)
+        qd_pen = cost.qd_cost * jnp.sum(qd**2, axis=-1)
+    elif cost.mode == "joint":
+        pos_err = cost.q_cost * jnp.sum((q - goal[:, :nq]) ** 2, axis=-1)
+        qd_err = qd if cost.absolute_qd_penalty else qd - goal[:, nq : 2 * nq]
+        qd_pen = cost.qd_cost * jnp.sum(qd_err**2, axis=-1)
+    else:
+        raise ValueError(f"unknown cost mode {cost.mode!r}")
     u_pen = cost.r_cost * jnp.sum(u**2, axis=-1)
     u_mask = jnp.arange(N) < N - 1
-    per_knot = 0.5 * (ee_err + qd_pen + jnp.where(u_mask, u_pen, 0.0))
+    per_knot = 0.5 * (pos_err + qd_pen + jnp.where(u_mask, u_pen, 0.0))
     return jnp.sum(per_knot)
 
 
+@highest_precision
 def constraint_l1(model: RobotModel, xu, xs, dt, include_x0: bool,
                   integrator_type: int = 0):
     """mu-free total l1 constraint violation over knots."""
@@ -64,6 +77,7 @@ def constraint_l1(model: RobotModel, xu, xs, dt, include_x0: bool,
     return total
 
 
+@highest_precision
 def merit_function(
     model: RobotModel, cost: CostConfig, xu, xs, ee_goal, mu, dt, include_x0: bool,
     integrator_type: int = 0,
@@ -74,6 +88,7 @@ def merit_function(
     )
 
 
+@highest_precision
 def line_search_merits(
     model: RobotModel, cost: CostConfig, xu, dz, xs, ee_goal, mu, dt,
     num_alphas: int = 8, integrator_type: int = 0,

@@ -27,6 +27,7 @@ from mpcgpu_tpu.ops.pcg import pcg_solve
 from mpcgpu_tpu.ops.schur import compute_dz, form_schur_system
 from mpcgpu_tpu.solver.kkt import build_kkt
 from mpcgpu_tpu.solver.merit import line_search_merits, merit_function
+from mpcgpu_tpu.precision import highest_precision
 
 
 class SQPResult(NamedTuple):
@@ -41,6 +42,7 @@ class SQPResult(NamedTuple):
     ls_alpha_idx: jax.Array   # (max_sqp_iter,) int32 chosen alpha index (-1 = fail)
 
 
+@highest_precision
 def sqp_solve(
     model: RobotModel,
     cost: CostConfig,
