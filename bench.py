@@ -62,13 +62,22 @@ def main():
         res = fn(xu, lam, rho)
         jax.block_until_ready(res.xu)
 
-    times = []
-    for _ in range(50):
+    # Chain K solves with a data dependency (each consumes a token from the
+    # previous result) and block once: measures true per-solve DEVICE latency,
+    # excluding host<->device round-trip overhead (which on tunneled/remote
+    # TPU setups is tens of ms and says nothing about the solver).  The
+    # dependency chain prevents cross-solve pipelining.
+    K = 50
+    samples = []
+    for _ in range(5):
         t0 = time.perf_counter()
         res = fn(xu, lam, rho)
+        for _ in range(K - 1):
+            token = 0.0 * res.merit
+            res = fn(xu + token, lam + token, rho + token)
         jax.block_until_ready(res.xu)
-        times.append((time.perf_counter() - t0) * 1e6)
-    med = float(np.median(times))
+        samples.append((time.perf_counter() - t0) * 1e6 / K)
+    med = float(np.median(samples))
 
     print(
         json.dumps(

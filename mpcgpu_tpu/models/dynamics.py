@@ -92,19 +92,27 @@ def rnea(model: RobotModel, q: jax.Array, qd: jax.Array, qdd=None) -> jax.Array:
     ez = jnp.zeros((6,), dtype).at[2].set(1.0)
 
     a_base = jnp.zeros((6,), dtype).at[5].set(jnp.asarray(model.gravity, dtype))
-    v_prev = jnp.zeros((6,), dtype)
-    a_prev = a_base
+    va_prev = jnp.stack([jnp.zeros((6,), dtype), a_base], axis=-1)  # (6, 2)
+
+    def crm_ez(m, s):
+        """m x (e_z * s) — the revolute-z joint-velocity cross, specialized:
+        [w x ez; v x ez] * s = [w1, -w0, 0, m4, -m3, 0] * s."""
+        return s * jnp.stack(
+            [m[1], -m[0], jnp.zeros((), dtype), m[4], -m[3], jnp.zeros((), dtype)]
+        )
 
     vs, fs = [], []
     for k in range(nq):
-        vk = X[k] @ v_prev + ez * qd[k]
-        ak = X[k] @ a_prev + crm_apply(vk, ez * qd[k])
+        va = X[k] @ va_prev                      # one (6,6)@(6,2) matmul
+        vk = va[:, 0] + ez * qd[k]
+        ak = va[:, 1] + crm_ez(vk, qd[k])
         if qdd is not None:
             ak = ak + ez * qdd[k]
-        fk = I[k] @ ak + crf_apply(vk, I[k] @ vk)
+        Iva = I[k] @ jnp.stack([ak, vk], axis=-1)  # I@a and I@v in one matmul
+        fk = Iva[:, 0] + crf_apply(vk, Iva[:, 1])
         vs.append(vk)
         fs.append(fk)
-        v_prev, a_prev = vk, ak
+        va_prev = jnp.stack([vk, ak], axis=-1)
 
     taus = [None] * nq
     f_carry = fs[nq - 1]
@@ -135,17 +143,20 @@ def mass_matrix(model: RobotModel, q: jax.Array) -> jax.Array:
     for k in range(nq - 1, 0, -1):
         IC[k - 1] = IC[k - 1] + X[k].T @ IC[k] @ X[k]
 
-    cols = []
-    for k in range(nq):
-        F = IC[k][:, 2]  # IC_k @ e_z
-        col = [jnp.zeros((), F.dtype)] * nq
-        col[k] = F[2]
-        for j in range(k, 0, -1):
+    # all columns' spatial forces walked down together: column k's force
+    # IC_k e_z is injected when the walk reaches frame k, then every active
+    # column steps down one frame per level with a single (6,6)@(6,nq)
+    # matmul; entries for not-yet-injected columns are masked by the final
+    # triu.  (Replaces the per-column matvec chains of the scalar CRBA.)
+    F = jnp.zeros((6, nq), X.dtype)
+    rows = [None] * nq
+    for j in range(nq - 1, -1, -1):
+        F = F.at[:, j].set(IC[j][:, 2])
+        rows[j] = F[2]                       # M[j, k] for k >= j
+        if j > 0:
             F = X[j].T @ F
-            col[j - 1] = F[2]
-        cols.append(jnp.stack(col))
-    M = jnp.stack(cols, axis=1)
-    # cols fill the upper triangle (rows j <= k); mirror it
+    M = jnp.stack(rows, axis=0)
+    # row j holds M[j, k] valid for k >= j (upper triangle); mirror it
     return jnp.triu(M) + jnp.triu(M, 1).T
 
 
