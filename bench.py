@@ -2,12 +2,21 @@
 """Headline benchmark: PCG-SQP iteration latency, IIWA N=64, one TPU chip.
 
 Measures one FULL SQP iteration (KKT assembly -> Schur + stair preconditioner
--> PCG at the tuned iteration cap -> dz recovery -> 8-alpha line search ->
-iterate update) as one jitted program, end to end including dispatch — the
-reference's real-time budget for this is SQP_MAX_TIME_US = 2000 us per
-control step (settings.cuh:161-163, BASELINE.md).
+-> PCG -> dz recovery -> 8-alpha line search -> iterate update) against the
+reference's real-time budget of SQP_MAX_TIME_US = 2000 us per control step
+(settings.cuh:161-163, BASELINE.md).
 
-Prints ONE JSON line: value = median latency in microseconds;
+Methodology: K control steps of a realistic warm-started MPC chain run INSIDE
+one jitted program (`lax.fori_loop`); each step shifts the goal trajectory
+and warm start by one knot and advances the initial state, exactly like the
+closed-loop tracker's shift logic (mpcsim.cuh:297-347), so every solve does
+real work (PCG runs tens of iterations, as in the reference's steady state).
+Timing the whole chain and dividing by K measures true per-solve DEVICE
+latency; timing individual dispatches would instead measure the host<->device
+tunnel round-trip (~26 ms on remote TPU setups), which says nothing about
+the solver.
+
+Prints ONE JSON line: value = per-solve latency in microseconds;
 vs_baseline = 2000 / value (speedup vs the 2 ms real-time budget; > 1 means
 real-time with headroom).
 """
@@ -33,51 +42,62 @@ def main():
     pcg_cfg = PCGConfig(max_iter=PCGConfig.tuned_max_iter(N), exit_tol=1e-5)
     sqp_cfg = SQPConfig(max_iter=1)
 
+    # full recorded trace: the goal window slides along it each control step
+    ee_full = jnp.asarray(load_eepos_traj("0_0"), dtype)
     xu = jnp.asarray(load_xu_traj("0_0")[:N], dtype)
-    ee = jnp.asarray(load_eepos_traj("0_0")[:N], dtype)
+    ee0 = ee_full[:N]
     xu = xu + 0.01 * jax.random.normal(jax.random.PRNGKey(0), xu.shape, dtype)
     xs = xu[0, :14]
     lam = jnp.zeros((N, 14), dtype)
-
-    def make_fn(linsys):
-        return jax.jit(
-            lambda xu_, lam_, rho_: sqp_solve(
-                model, cost, sqp_cfg, pcg_cfg, xu_, lam_, xs, ee, rho_, 1.0 / 64.0,
-                linsys=linsys,
-            )
-        )
-
     rho = jnp.asarray(1e-3, dtype)
 
-    # fused Pallas PCG on TPU; fall back to the while_loop solver elsewhere
+    linsys = "pcg_pallas" if jax.default_backend() == "tpu" else "pcg"
+    K = 256
+
+    def make_chain(linsys):
+        @jax.jit
+        def chain(xu0, lam0, xs0, ee0, rho0):
+            def body(i, carry):
+                xu_, lam_, xs_, ee_, rho_, iters = carry
+                res = sqp_solve(
+                    model, cost, sqp_cfg, pcg_cfg, xu_, lam_, xs_, ee_, rho_,
+                    1.0 / 64.0, linsys=linsys,
+                )
+                # MPC shift (mpcsim.cuh:297-347): advance one knot, backfill
+                # the tail, move the goal window along the recorded trace
+                xu_n = jnp.roll(res.xu, -1, axis=0).at[-1].set(res.xu[-1])
+                lam_n = jnp.roll(res.lam, -1, axis=0).at[-1].set(res.lam[-1])
+                xs_n = res.xu[1, :14]
+                ee_n = jnp.roll(ee_, -1, axis=0).at[-1].set(
+                    jax.lax.dynamic_index_in_dim(
+                        ee_full, (i + N) % ee_full.shape[0], keepdims=False
+                    )
+                )
+                return (xu_n, lam_n, xs_n, ee_n, res.rho, iters + res.pcg_iters[0])
+
+            init = (xu0, lam0, xs0, ee0, rho0, jnp.int32(0))
+            return jax.lax.fori_loop(0, K, body, init)
+
+        return chain
+
     try:
-        fn = make_fn("pcg_pallas" if jax.default_backend() == "tpu" else "pcg")
-        res = fn(xu, lam, rho)
-        jax.block_until_ready(res.xu)
+        fn = make_chain(linsys)
+        out = fn(xu, lam, xs, ee0, rho)
+        jax.block_until_ready(out)
     except Exception:
-        fn = make_fn("pcg")
+        linsys = "pcg"
+        fn = make_chain(linsys)
+        out = fn(xu, lam, xs, ee0, rho)
+        jax.block_until_ready(out)
 
-    # warm-up / compile (REMOVE_JITTERS analogue, mpcsim.cuh:222-242)
-    for _ in range(3):
-        res = fn(xu, lam, rho)
-        jax.block_until_ready(res.xu)
-
-    # Chain K solves with a data dependency (each consumes a token from the
-    # previous result) and block once: measures true per-solve DEVICE latency,
-    # excluding host<->device round-trip overhead (which on tunneled/remote
-    # TPU setups is tens of ms and says nothing about the solver).  The
-    # dependency chain prevents cross-solve pipelining.
-    K = 50
     samples = []
     for _ in range(5):
         t0 = time.perf_counter()
-        res = fn(xu, lam, rho)
-        for _ in range(K - 1):
-            token = 0.0 * res.merit
-            res = fn(xu + token, lam + token, rho + token)
-        jax.block_until_ready(res.xu)
+        out = fn(xu, lam, xs, ee0, rho)
+        jax.block_until_ready(out)
         samples.append((time.perf_counter() - t0) * 1e6 / K)
     med = float(np.median(samples))
+    mean_pcg_iters = float(np.asarray(out[5])) / K
 
     print(
         json.dumps(
@@ -86,6 +106,9 @@ def main():
                 value=round(med, 1),
                 unit="us",
                 vs_baseline=round(2000.0 / med, 3),
+                mean_pcg_iters=round(mean_pcg_iters, 1),
+                chain_len=K,
+                linsys=linsys,
             )
         )
     )
