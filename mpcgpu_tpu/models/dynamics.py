@@ -180,6 +180,61 @@ def forward_dynamics(model: RobotModel, q, qd, u) -> jax.Array:
 
 
 @highest_precision
+def forward_dynamics_aba(model: RobotModel, q, qd, u) -> jax.Array:
+    """qdd via the articulated-body algorithm (Featherstone RBDA Table 7.1).
+
+    Produces the same qdd as ``forward_dynamics`` (= GRiD's
+    forward_dynamics_inner chain, iiwa_eepos_grid.cuh:4351-4556) but never
+    forms or inverts M: the backward articulated-inertia pass reduces the
+    joint-space solve to nq scalar divisions.  This is the cheap path for
+    merit / line-search / plant evaluations, which need only qdd (no
+    gradients): ~40% fewer tiny XLA ops than RNEA + CRBA + Gauss-Jordan.
+    """
+    nq = model.nq
+    X = model.xmats(q)
+    I = model.inertia
+    dtype = X.dtype
+
+    v_par = jnp.zeros((6,), dtype)
+    vs, cs, pAs = [], [], []
+    for k in range(nq):
+        vk = X[k] @ v_par + jnp.zeros((6,), dtype).at[2].set(qd[k])
+        # c_k = v_k x (S qd_k) with S = e_z, specialized like rnea's crm_ez
+        ck = qd[k] * jnp.stack(
+            [vk[1], -vk[0], jnp.zeros((), dtype), vk[4], -vk[3], jnp.zeros((), dtype)]
+        )
+        pAk = crf_apply(vk, I[k] @ vk)
+        vs.append(vk)
+        cs.append(ck)
+        pAs.append(pAk)
+        v_par = vk
+
+    IA = [I[k] for k in range(nq)]
+    pA = list(pAs)
+    U, d, uu = [None] * nq, [None] * nq, [None] * nq
+    for k in range(nq - 1, -1, -1):
+        U[k] = IA[k][:, 2]
+        d[k] = IA[k][2, 2]
+        uu[k] = u[k] - pA[k][2]
+        if k > 0:
+            Ia = IA[k] - jnp.outer(U[k], U[k]) / d[k]
+            pa = pA[k] + Ia @ cs[k] + U[k] * (uu[k] / d[k])
+            IaX = Ia @ X[k]
+            IA[k - 1] = IA[k - 1] + X[k].T @ IaX
+            pA[k - 1] = pA[k - 1] + X[k].T @ pa
+
+    a_base = jnp.zeros((6,), dtype).at[5].set(jnp.asarray(model.gravity, dtype))
+    a_par = a_base
+    qdds = []
+    for k in range(nq):
+        ap = X[k] @ a_par + cs[k]
+        qdd_k = (uu[k] - U[k] @ ap) / d[k]
+        qdds.append(qdd_k)
+        a_par = ap + jnp.zeros((6,), dtype).at[2].set(qdd_k)
+    return jnp.stack(qdds)
+
+
+@highest_precision
 def fd_and_gradient(model: RobotModel, q, qd, u):
     """(qdd, dqdd_dq (nq,nq), dqdd_dqd (nq,nq), dqdd_du = M^{-1} (nq,nq)).
 

@@ -50,7 +50,7 @@ def integrator_step(model: RobotModel, x, u, dt, integrator_type: int = 0):
     0 = explicit Euler, 1 = semi-implicit Euler."""
     nq = model.nq
     q, qd = x[:nq], x[nq:]
-    qdd = dynamics.forward_dynamics(model, q, qd, u)
+    qdd = dynamics.forward_dynamics_aba(model, q, qd, u)
     if integrator_type == 0:
         return jnp.concatenate([q + dt * qd, qd + dt * qdd])
     elif integrator_type == 1:

@@ -91,13 +91,21 @@ def merit_function(
 @highest_precision
 def line_search_merits(
     model: RobotModel, cost: CostConfig, xu, dz, xs, ee_goal, mu, dt,
-    num_alphas: int = 8, integrator_type: int = 0,
+    num_alphas: int = 8, integrator_type: int = 0, include_zero: bool = False,
 ):
     """Merit at xu + alpha_i dz for alpha_i = -1/2^i, i = 0..num_alphas-1.
 
-    Returns (merits (num_alphas,), alphas (num_alphas,)).
+    With ``include_zero``, alpha = 0 is prepended so merits[0] is the merit of
+    the CURRENT iterate — evaluated in the same batched pass, which lets the
+    SQP loop drop its standalone initial-merit evaluation (the reference
+    launches compute_merit separately, pcg/sqp.cuh:173-182; folding it into
+    the candidate batch is free on TPU since the vmap just grows by one lane).
+
+    Returns (merits (num_alphas[+1],), alphas (num_alphas[+1],)).
     """
     alphas = -1.0 / (2.0 ** jnp.arange(num_alphas, dtype=xu.dtype))
+    if include_zero:
+        alphas = jnp.concatenate([jnp.zeros((1,), xu.dtype), alphas])
 
     def merit_at(alpha):
         cand = xu + alpha * dz

@@ -26,7 +26,7 @@ from mpcgpu_tpu.ops.ldl import btd_ldl_solve
 from mpcgpu_tpu.ops.pcg import pcg_solve
 from mpcgpu_tpu.ops.schur import compute_dz, form_schur_system
 from mpcgpu_tpu.solver.kkt import build_kkt
-from mpcgpu_tpu.solver.merit import line_search_merits, merit_function
+from mpcgpu_tpu.solver.merit import line_search_merits
 from mpcgpu_tpu.precision import highest_precision
 
 
@@ -68,10 +68,12 @@ def sqp_solve(
     mu = jnp.asarray(sqp_cfg.mu, dtype)
     dt = jnp.asarray(dt, dtype)
 
-    merit0 = merit_function(
-        model, cost, xu, xs, ee_goal, mu, dt, include_x0=False,
-        integrator_type=integrator_type,
-    )
+    # The merit of the current iterate is evaluated as the alpha = 0 candidate
+    # inside each iteration's line-search batch (see line_search_merits), so
+    # no standalone compute_merit pass is needed (unlike pcg/sqp.cuh:173-182).
+    # Note the comparison baseline therefore INCLUDES the initial-state l1
+    # residual, unlike the reference's initial merit (merit.cuh:133-134) —
+    # self-consistent with the candidates, which always include it.
 
     def solve_linsys(schur, lam):
         if linsys == "pcg":
@@ -110,10 +112,12 @@ def sqp_solve(
         merits, alphas = line_search_merits(
             model, cost, xu, dz, xs, ee_goal, mu, dt,
             num_alphas=sqp_cfg.num_alphas, integrator_type=integrator_type,
+            include_zero=True,
         )
-        best = jnp.argmin(merits)
+        merit_cur = merits[0]
+        best = 1 + jnp.argmin(merits[1:])
         min_merit = merits[best]
-        success = min_merit < state["merit"]
+        success = min_merit < merit_cur
 
         # Levenberg-Marquardt rho schedule (pcg/sqp.cuh:304-320)
         drho_fail = jnp.maximum(drho * sqp_cfg.rho_factor, sqp_cfg.rho_factor)
@@ -127,7 +131,7 @@ def sqp_solve(
             success, rho_ok, jnp.where(gave_up, jnp.asarray(sqp_cfg.rho_reset, dtype), rho_fail)
         )
         drho_new = jnp.where(success, drho_ok, drho_fail)
-        merit_new = jnp.where(success, min_merit, state["merit"])
+        merit_new = jnp.where(success, min_merit, merit_cur)
         stop = jnp.logical_and(~success, gave_up)
 
         return dict(
@@ -142,7 +146,7 @@ def sqp_solve(
             pcg_iters=state["pcg_iters"].at[it].set(lin_iters),
             pcg_converged=state["pcg_converged"].at[it].set(lin_ok),
             ls_alpha_idx=state["ls_alpha_idx"].at[it].set(
-                jnp.where(success, best.astype(jnp.int32), jnp.int32(-1))
+                jnp.where(success, (best - 1).astype(jnp.int32), jnp.int32(-1))
             ),
         )
 
@@ -151,7 +155,7 @@ def sqp_solve(
         lam=lam,
         rho=rho,
         drho=jnp.asarray(1.0, dtype),
-        merit=merit0,
+        merit=jnp.asarray(jnp.inf, dtype),
         it=jnp.int32(0),
         stop=jnp.bool_(False),
         gave_up=jnp.bool_(False),

@@ -114,3 +114,16 @@ def test_ee_jacobian_vs_finite_differences(model, traj):
         axis=1,
     )
     np.testing.assert_allclose(np.asarray(J), num, atol=1e-6)
+
+
+def test_aba_matches_mass_matrix_solve(model, traj):
+    """ABA (forward_dynamics_aba) == M^{-1}(u - c) on random states."""
+    key = jax.random.PRNGKey(3)
+    for _ in range(5):
+        k1, k2, k3, key = jax.random.split(key, 4)
+        q = jax.random.uniform(k1, (7,), jnp.float64, -2.5, 2.5)
+        qd = jax.random.uniform(k2, (7,), jnp.float64, -2.0, 2.0)
+        u = jax.random.uniform(k3, (7,), jnp.float64, -10.0, 10.0)
+        ref = dynamics.forward_dynamics(model, q, qd, u)
+        aba = dynamics.forward_dynamics_aba(model, q, qd, u)
+        np.testing.assert_allclose(np.asarray(aba), np.asarray(ref), atol=1e-9)
