@@ -57,8 +57,13 @@ def sqp_solve(
     linsys: str = "pcg",
     max_sqp_iter: int | None = None,
     integrator_type: int = 0,
+    merit_impl: str = "auto",
 ) -> SQPResult:
-    """One SQP solve. All array args traced; model/configs/linsys static."""
+    """One SQP solve. All array args traced; model/configs/linsys static.
+
+    merit_impl: "pallas" = fused VMEM line-search kernel (TPU, ee mode),
+    "xla" = vmapped merit, "auto" = pallas when on TPU and applicable.
+    """
     N = xu.shape[0]
     nx = lam.shape[-1]
     dtype = xu.dtype
@@ -74,6 +79,11 @@ def sqp_solve(
     # Note the comparison baseline therefore INCLUDES the initial-state l1
     # residual, unlike the reference's initial merit (merit.cuh:133-134) —
     # self-consistent with the candidates, which always include it.
+
+    if merit_impl == "auto":
+        use_pallas_merit = jax.default_backend() == "tpu" and cost.mode == "ee"
+    else:
+        use_pallas_merit = merit_impl == "pallas"
 
     def solve_linsys(schur, lam):
         if linsys == "pcg":
@@ -109,11 +119,19 @@ def sqp_solve(
         lam, lin_iters, lin_ok = solve_linsys(schur, lam)
         dz = compute_dz(kkt, schur, lam)
 
-        merits, alphas = line_search_merits(
-            model, cost, xu, dz, xs, ee_goal, mu, dt,
-            num_alphas=sqp_cfg.num_alphas, integrator_type=integrator_type,
-            include_zero=True,
-        )
+        if use_pallas_merit:
+            from mpcgpu_tpu.solver.merit_pallas import line_search_merits_pallas
+
+            merits, alphas = line_search_merits_pallas(
+                model, cost, xu, dz, xs, ee_goal, mu, dt,
+                num_alphas=sqp_cfg.num_alphas, integrator_type=integrator_type,
+            )
+        else:
+            merits, alphas = line_search_merits(
+                model, cost, xu, dz, xs, ee_goal, mu, dt,
+                num_alphas=sqp_cfg.num_alphas, integrator_type=integrator_type,
+                include_zero=True,
+            )
         merit_cur = merits[0]
         best = 1 + jnp.argmin(merits[1:])
         min_merit = merits[best]
