@@ -104,6 +104,11 @@ def sqp_solve(
         elif linsys == "ldl":
             lam_new = btd_ldl_solve(schur.S, schur.gamma)
             return lam_new, jnp.int32(1), jnp.bool_(True)
+        elif linsys == "pcr":
+            from mpcgpu_tpu.ops.pcr import pcr_solve_refined
+
+            lam_new = pcr_solve_refined(schur.S, schur.gamma, refine=1)
+            return lam_new, jnp.int32(1), jnp.bool_(True)
         else:
             raise ValueError(f"unknown linsys {linsys!r}")
 
