@@ -1,0 +1,425 @@
+"""Fused Pallas KKT-assembly kernel: dynamics linearization + GN cost, one pass.
+
+Pallas equivalent of the reference's generate_kkt_submatrices kernel chain
+(include/common/kkt.cuh:22-163 -> gato_plant::forwardDynamicsAndGradient,
+iiwa_eepos_plant.cuh:126-156 -> the GRiD codegen stack,
+iiwa_eepos_grid.cuh:1770-5687) — and of this repo's XLA path
+(solver/kkt.py::build_kkt), whose lowering materializes ~50 MB of per-knot
+intermediates across ~64 fusions.
+
+Everything runs VMEM-resident with the knot axis on lanes:
+
+  * forward-mode RNEA with all 14 tangent directions (7 dq, 7 dqd) carried as
+    a "multi-vector" axis: spatial quantities are (6, 1+14, N) tiles, so each
+    recursion step is a handful of lane-broadcast FMAs.  Algebraically
+    identical to jax.jacfwd over models/dynamics.py::rnea (which itself
+    mirrors GRiD's inverse_dynamics_gradient_inner, iiwa_eepos_grid.cuh:4558).
+  * CRBA mass matrix + unrolled Gauss-Jordan inverse on (7, 7, N) tiles
+    (models/dynamics.py::mass_matrix / ops/smallmat.py, lane-packed).
+  * FK + ee Jacobian by a product-rule homogeneous-transform chain with 7
+    q-tangents (iiwa_eepos_grid.cuh:2255-2509 equivalent).
+  * Euler / semi-implicit integrator Jacobians and the reference's
+    Gauss-Newton gradient-outer-product cost Hessian assembled in-kernel
+    (integrator.cuh:59-130, iiwa_eepos_plant.cuh:295-378).
+
+Outputs are returned in the standard knot-leading layout of
+solver/kkt.py::KKTBlocks (transposes fuse into the downstream Schur stage).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mpcgpu_tpu.config import CostConfig
+from mpcgpu_tpu.models.robot import RobotModel
+from mpcgpu_tpu.precision import highest_precision
+
+NT = 15  # multi-vector width: 1 value column + 7 dq + 7 dqd tangents
+
+
+def _mm6(M, V):
+    """(6,6,B) @ (6,T,B) -> (6,T,B) (contract over the 6 middle index)."""
+    acc = M[:, 0:1, :] * V[0:1, :, :]
+    for j in range(1, 6):
+        acc = acc + M[:, j : j + 1, :] * V[j : j + 1, :, :]
+    return acc
+
+
+def _mm6_T(M, V):
+    """M^T @ V for M (6,6,B), V (6,T,B): out[i] = sum_j M[j,i,:] V[j]."""
+    out = M[0, :, :][:, None, :] * V[0:1, :, :]
+    for j in range(1, 6):
+        out = out + M[j, :, :][:, None, :] * V[j : j + 1, :, :]
+    return out
+
+
+def _mm6_const(M, V):
+    """(6,6,1) const @ (6,T,B)."""
+    acc = M[:, 0:1, :] * V[0:1, :, :]
+    for j in range(1, 6):
+        acc = acc + M[:, j : j + 1, :] * V[j : j + 1, :, :]
+    return acc
+
+
+def _cross_multi(a, b):
+    """a x b on (3,T,B) tiles (componentwise cross along axis 0)."""
+    ar1 = pltpu.roll(a, 2, axis=0)
+    br2 = pltpu.roll(b, 1, axis=0)
+    ar2 = pltpu.roll(a, 1, axis=0)
+    br1 = pltpu.roll(b, 2, axis=0)
+    return ar1 * br2 - ar2 * br1
+
+
+def _crf_fixed_f(v_multi, g):
+    """crf(v_t, g) for every column of v_multi (6,T,B), g (6,1,B) fixed:
+    [w_t x g_w + vo_t x g_v ; w_t x g_v]."""
+    w, vo = v_multi[0:3], v_multi[3:6]
+    gw = jnp.broadcast_to(g[0:3], w.shape)
+    gv = jnp.broadcast_to(g[3:6], w.shape)
+    return jnp.concatenate(
+        [_cross_multi(w, gw) + _cross_multi(vo, gv), _cross_multi(w, gv)], axis=0
+    )
+
+
+def _crf_fixed_v(v, f_multi):
+    """crf(v, f_t) for fixed v (6,1,B), every column of f_multi (6,T,B)."""
+    w = jnp.broadcast_to(v[0:3], f_multi[0:3].shape)
+    vo = jnp.broadcast_to(v[3:6], f_multi[0:3].shape)
+    fw, fv = f_multi[0:3], f_multi[3:6]
+    return jnp.concatenate(
+        [_cross_multi(w, fw) + _cross_multi(vo, fv), _cross_multi(w, fv)], axis=0
+    )
+
+
+def _shuffle_ez(m):
+    """m x e_z pattern: [m1, -m0, 0, m4, -m3, 0] along axis 0 of (6,T,B)."""
+    zero = jnp.zeros_like(m[0:1])
+    return jnp.concatenate([m[1:2], -m[0:1], zero, m[4:5], -m[3:4], zero], axis=0)
+
+
+def _gj_inverse_lanes(M, n):
+    """Unrolled Gauss-Jordan inverse of (n,n,B) lane-packed SPD blocks."""
+    B = M.shape[2]
+    dtype = M.dtype
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n, B), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n, B), 1)
+    Inv = (row == col).astype(dtype)
+    A = M
+    for i in range(n):
+        dinv = 1.0 / A[i : i + 1, i, :]                  # (1,B)
+        arow = A[i, :, :] * dinv                          # (n,B) scaled pivot row
+        irow = Inv[i, :, :] * dinv
+        isrow = (row == i)
+        A = jnp.where(isrow, jnp.broadcast_to(arow[None, :, :], A.shape), A)
+        Inv = jnp.where(isrow, jnp.broadcast_to(irow[None, :, :], Inv.shape), Inv)
+        f = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (n, B), 0) == i, 0.0, A[:, i, :]
+        )                                                 # (n,B) elim factors
+        A = A - f[:, None, :] * arow[None, :, :]
+        Inv = Inv - f[:, None, :] * irow[None, :, :]
+    return Inv
+
+
+def _mmn(Ma, Mb, n):
+    """(n,n,B) @ (n,n,B)."""
+    cols = []
+    for l in range(n):
+        acc = Ma[:, 0, :] * Mb[0:1, l, :]
+        for j in range(1, n):
+            acc = acc + Ma[:, j, :] * Mb[j : j + 1, l, :]
+        cols.append(acc)
+    return jnp.stack(cols, axis=1)
+
+
+def _make_kkt_kernel(nq: int, N: int, integrator_type: int, gravity: float,
+                     qd_cost: float, debug_stage: int = 99):
+    """debug_stage < 99 truncates the kernel after that stage (zeros for the
+    remaining outputs) — a Mosaic-crash bisection aid; not a public knob."""
+    nx = 2 * nq
+
+    def kernel(xu_ref, xeval_ref, goal_ref, dt_ref,
+               xc_ref, xsin_ref, xcos_ref, I_ref, hc_ref, hsin_ref, hcos_ref,
+               A_ref, Bm_ref, Q_ref, qv_ref, xnext_ref, minv_ref):
+        dt = dt_ref[0]
+        xu = xu_ref[:]                               # (nx+nu, N)
+        q = xu[0:nq]
+        qd = xu[nq:nx]
+        u = xu[nx : nx + nq]
+        s = jnp.sin(q)
+        c = jnp.cos(q)
+
+        X, Xp = [], []                                # X_j and dX_j/dq_j
+        for j in range(nq):
+            sj = s[j : j + 1, :][None]
+            cj = c[j : j + 1, :][None]
+            X.append(xc_ref[j][:, :, None] + sj * xsin_ref[j][:, :, None]
+                     + cj * xcos_ref[j][:, :, None])
+            Xp.append(cj * xsin_ref[j][:, :, None] - sj * xcos_ref[j][:, :, None])
+
+        row6t = jax.lax.broadcasted_iota(jnp.int32, (6, NT, N), 0)
+        colt = jax.lax.broadcasted_iota(jnp.int32, (6, NT, N), 1)
+        ez_val = ((row6t == 2) & (colt == 0)).astype(xu.dtype)   # e_z in value col
+
+        # ---------- value-only RNEA (bias c = ID(q, qd, 0)) + CRBA ----------
+        # bias via the same multi machinery with T = 1 would duplicate code;
+        # value pass is cheap enough to run with T = 1 columns:
+        def rnea_pass(qdd_rows):
+            """RNEA value+tangent pass; qdd_rows = None (bias) or (nq,N) const.
+            Returns tau multi (nq, NT, N) [+ f values when needed]."""
+            v_par = None
+            a_par = None
+            vs, fs = [], []
+            if gravity != 0.0:
+                g_base = ((row6t == 5) & (colt == 0)).astype(xu.dtype) * gravity
+                a_par = g_base
+            for k in range(nq):
+                qdk = qd[k : k + 1, :][None]              # (1,1,N)
+                if v_par is None:
+                    v = ez_val * qdk
+                    dv_extra = None
+                else:
+                    v = _mm6(X[k], v_par)
+                    # d/dq_k of X_k v_par: value-col only -> tangent col 1+k
+                    xv = _mm6(Xp[k], v_par[:, 0:1, :])    # (6,1,N)
+                    v = v + jnp.where(colt == 1 + k, jnp.broadcast_to(xv, colt.shape), 0.0)
+                    v = v + ez_val * qdk
+                # qd_k tangent of vJ: e_z in column 1+nq+k
+                v = v + ((row6t == 2) & (colt == 1 + nq + k)).astype(xu.dtype)
+                if a_par is None:
+                    a = jnp.zeros_like(v)
+                else:
+                    a = _mm6(X[k], a_par)
+                    xa = _mm6(Xp[k], a_par[:, 0:1, :])
+                    a = a + jnp.where(colt == 1 + k, jnp.broadcast_to(xa, colt.shape), 0.0)
+                # bias acceleration: v x (e_z qd_k), bilinear
+                sh = _shuffle_ez(v)
+                a = a + sh * qdk
+                a = a + jnp.where(colt == 1 + nq + k, jnp.broadcast_to(sh[:, 0:1, :], colt.shape), 0.0)
+                if qdd_rows is not None:
+                    a = a + ez_val * qdd_rows[k : k + 1, :][None]
+                # spatial force f = I a + crf(v, I v)
+                Ik = I_ref[k][:, :, None]
+                Iv = _mm6_const(Ik, v)
+                f = _mm6_const(Ik, a)
+                g0 = Iv[:, 0:1, :]
+                v0 = v[:, 0:1, :]
+                vz = jnp.where(colt == 0, 0.0, v)
+                Ivz = jnp.where(colt == 0, 0.0, Iv)
+                f = f + _crf_fixed_f(vz, g0) + _crf_fixed_v(v0, Ivz)
+                f = f + jnp.where(colt == 0, jnp.broadcast_to(_crf_fixed_v(v0, g0), colt.shape), 0.0)
+                vs.append(v)
+                fs.append(f)
+                v_par, a_par = v, a
+            taus = [None] * nq
+            f_carry = fs[nq - 1]
+            for k in range(nq - 1, -1, -1):
+                taus[k] = f_carry[2]                      # (NT, N)
+                if k > 0:
+                    fc = _mm6_T(X[k], f_carry)
+                    xf = _mm6_T(Xp[k], f_carry[:, 0:1, :])
+                    f_carry = fs[k - 1] + fc + jnp.where(colt == 1 + k, jnp.broadcast_to(xf, colt.shape), 0.0)
+            return jnp.stack(taus, axis=0)                # (nq, NT, N)
+
+        # CRBA mass matrix (value only)
+        IC = [jnp.broadcast_to(I_ref[k][:, :, None], (6, 6, N)) for k in range(nq)]
+        for k in range(nq - 1, 0, -1):
+            IC[k - 1] = IC[k - 1] + _mm6_T(X[k], _mmn(IC[k], X[k], 6))
+        F = jnp.zeros((6, nq, N), xu.dtype)
+        rows = [None] * nq
+        coln = jax.lax.broadcasted_iota(jnp.int32, (6, nq, N), 1)
+        for j in range(nq - 1, -1, -1):
+            F = jnp.where(coln == j, jnp.broadcast_to(IC[j][:, 2, :][:, None, :], F.shape), F)
+            rows[j] = F[2]                                # (nq, N): M[j, k] for k >= j
+            if j > 0:
+                F = _mm6_T(X[j], F)
+        Mupper = jnp.stack(rows, axis=0)                  # (nq, nq, N) upper (row<=col)
+        rown = jax.lax.broadcasted_iota(jnp.int32, (nq, nq, N), 0)
+        colnn = jax.lax.broadcasted_iota(jnp.int32, (nq, nq, N), 1)
+        MuT = jnp.stack([Mupper[:, i, :] for i in range(nq)], axis=0)  # transpose01
+        M = jnp.where(rown <= colnn, Mupper, MuT)
+        Minv = _gj_inverse_lanes(M, nq)                   # (nq, nq, N)
+
+        # bias + qdd
+        tau_bias_multi = rnea_pass(None)
+        c_bias = tau_bias_multi[:, 0, :]                  # (nq, N)
+        umc = u - c_bias
+        qdd = Minv[:, 0, :] * umc[0:1, :]
+        for j in range(1, nq):
+            qdd = qdd + Minv[:, j, :] * umc[j : j + 1, :]  # (nq, N)
+
+        # tangent RNEA at fixed qdd -> dID/dq, dID/dqd
+        tau_multi = rnea_pass(qdd)
+        dID = jnp.stack([tau_multi[:, 1 + t, :] for t in range(2 * nq)], axis=1)
+        # dqdd/d{q,qd} = -Minv @ dID  -> (nq, 2nq, N)
+        dqdd = -(Minv[:, 0:1, :] * dID[0:1, :, :])
+        for j in range(1, nq):
+            dqdd = dqdd - Minv[:, j : j + 1, :] * dID[j : j + 1, :, :]
+        dq_blk = dqdd[:, 0:nq, :]                         # d qdd / d q
+        dqd_blk = dqdd[:, nq : 2 * nq, :]                 # d qdd / d qd
+
+        # ---------- integrator step + Jacobians (integrator.cuh:59-130) ----
+        rowx = jax.lax.broadcasted_iota(jnp.int32, (nx, nx, N), 0)
+        colx = jax.lax.broadcasted_iota(jnp.int32, (nx, nx, N), 1)
+        eyex = (rowx == colx).astype(xu.dtype)
+        if integrator_type == 0:
+            qn = q + dt * qd
+            qdn = qd + dt * qdd
+            rowt = jax.lax.broadcasted_iota(jnp.int32, (nq, nx, N), 0)
+            colt2 = jax.lax.broadcasted_iota(jnp.int32, (nq, nx, N), 1)
+            top = jnp.where(colt2 == rowt + nq, dt, 0.0)
+            bot = jnp.concatenate([dt * dq_blk, dt * dqd_blk], axis=1)
+            Amat = eyex + jnp.concatenate([top, bot], axis=0)
+            Bmat = jnp.concatenate(
+                [jnp.zeros((nq, nq, N), xu.dtype), dt * Minv], axis=0
+            )
+        else:
+            qdn = qd + dt * qdd
+            qn = q + dt * qdn
+            eyeq = (jax.lax.broadcasted_iota(jnp.int32, (nq, nq, N), 0)
+                    == jax.lax.broadcasted_iota(jnp.int32, (nq, nq, N), 1)
+                    ).astype(xu.dtype)
+            top = jnp.concatenate(
+                [dt * dt * dq_blk, dt * eyeq + dt * dt * dqd_blk], axis=1
+            )
+            bot = jnp.concatenate([dt * dq_blk, dt * dqd_blk], axis=1)
+            Amat = eyex + jnp.concatenate([top, bot], axis=0)
+            Bmat = jnp.concatenate([dt * dt * Minv, dt * Minv], axis=0)
+        xnext = jnp.concatenate([qn, qdn], axis=0)        # (nx, N)
+
+        # ---------- tracking cost grad/Hessian at xeval ----------
+        qe = xeval_ref[0:nq]
+        qde = xeval_ref[nq:nx]
+        se = jnp.sin(qe)
+        ce = jnp.cos(qe)
+        # product-rule chain: carry the value transform and the nq tangent
+        # transforms separately; tangent t only becomes nonzero at joint t
+        Tval = None
+        Ttans = [None] * nq                              # each (4,4,N) or None
+        for j in range(nq):
+            Hj = (hc_ref[j][:, :, None] + se[j : j + 1, :][None] * hsin_ref[j][:, :, None]
+                  + ce[j : j + 1, :][None] * hcos_ref[j][:, :, None])
+            Hpj = (ce[j : j + 1, :][None] * hsin_ref[j][:, :, None]
+                   - se[j : j + 1, :][None] * hcos_ref[j][:, :, None])
+            if Tval is None:
+                Tval_new = Hj
+                Ttans[0] = Hpj
+            else:
+                Tval_new = _mmn(Tval, Hj, 4)
+                for t in range(j):
+                    if Ttans[t] is not None:
+                        Ttans[t] = _mmn(Ttans[t], Hj, 4)
+                Ttans[j] = _mmn(Tval, Hpj, 4)
+            Tval = Tval_new
+        ee = Tval[0:3, 3, :]                              # (3, N)
+        err = ee - goal_ref[:]                            # (3, N)
+        gq_rows = []
+        for t in range(nq):
+            Jt = Ttans[t][0:3, 3, :]                      # (3, N)
+            gq_rows.append(_sum3(Jt * err))
+        gq = jnp.concatenate(gq_rows, axis=0)             # (nq, N)
+        grad = jnp.concatenate([gq, qd_cost * qde], axis=0)   # (nx, N)
+        gq_ext = jnp.concatenate([gq, jnp.zeros((nq, N), xu.dtype)], axis=0)
+        Qmat = gq_ext[:, None, :] * gq_ext[None, :, :]
+        qd_diag = ((rowx == colx) & (rowx >= nq)).astype(xu.dtype) * qd_cost
+        Qmat = Qmat + qd_diag
+
+        if debug_stage < 99:
+            z = [jnp.zeros_like(Amat), jnp.zeros_like(Bmat), jnp.zeros_like(Qmat),
+                 jnp.zeros_like(grad), jnp.zeros_like(xnext), jnp.zeros_like(Minv)]
+            picks = {
+                0: dict(minv=Minv),
+                1: dict(q=jnp.concatenate([qdd, qdd], axis=0)),
+                2: dict(q=jnp.concatenate([dqdd[:, 0, :], dqdd[:, 7, :]], axis=0)),
+                3: dict(A=Amat, B=Bmat, x=xnext),
+                4: dict(q=grad),
+                5: dict(Q=Qmat),
+            }[debug_stage]
+            A_ref[:] = picks.get("A", z[0])
+            Bm_ref[:] = picks.get("B", z[1])
+            Q_ref[:] = picks.get("Q", z[2])
+            qv_ref[:] = picks.get("q", z[3])
+            xnext_ref[:] = picks.get("x", z[4])
+            minv_ref[:] = picks.get("minv", z[5])
+            return
+
+        A_ref[:] = Amat
+        Bm_ref[:] = Bmat
+        Q_ref[:] = Qmat
+        qv_ref[:] = grad
+        xnext_ref[:] = xnext
+        minv_ref[:] = Minv
+
+    return kernel
+
+
+def _sum3(x):
+    return x[0:1] + x[1:2] + x[2:3]
+
+
+@highest_precision
+@partial(jax.jit, static_argnames=("cost", "integrator_type", "interpret", "_debug_stage"))
+def build_kkt_pallas(
+    model: RobotModel, cost: CostConfig, xu, xs, ee_goal, dt,
+    integrator_type: int = 0, interpret: bool = False, _debug_stage: int = 99,
+):
+    """Fused replacement for solver.kkt.build_kkt (ee cost mode).
+
+    Returns the same KKTBlocks pytree (knot-leading layout).
+    """
+    from mpcgpu_tpu.solver.kkt import KKTBlocks
+
+    if cost.mode != "ee":
+        raise ValueError("pallas KKT kernel supports ee cost mode only")
+    nq = model.nq
+    nx = 2 * nq
+    N = xu.shape[0]
+    dtype = xu.dtype
+
+    x = xu[:, :nx]
+    x_eval = x if cost.terminal_at_last_state else x.at[N - 1].set(x[N - 2])
+
+    xu_l = xu.T                                           # (nx+nu, N)
+    xeval_l = x_eval.T                                    # (nx, N)
+    goal_l = ee_goal[:, :3].T                             # (3, N)
+    dt_arr = jnp.asarray([dt], dtype)
+
+    A_l, B_l, Q_l, q_l, xnext_l, minv_l = pl.pallas_call(
+        _make_kkt_kernel(nq, N, integrator_type, float(model.gravity),
+                         float(cost.qd_cost), _debug_stage),
+        out_shape=(
+            jax.ShapeDtypeStruct((nx, nx, N), dtype),
+            jax.ShapeDtypeStruct((nx, nq, N), dtype),
+            jax.ShapeDtypeStruct((nx, nx, N), dtype),
+            jax.ShapeDtypeStruct((nx, N), dtype),
+            jax.ShapeDtypeStruct((nx, N), dtype),
+            jax.ShapeDtypeStruct((nq, nq, N), dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)),
+        interpret=interpret,
+    )(xu_l, xeval_l, goal_l, dt_arr,
+      model.xc, model.xs, model.xcos, model.inertia,
+      model.hc, model.hs, model.hcos)
+
+    A = jnp.transpose(A_l, (2, 0, 1))[: N - 1]
+    B = jnp.transpose(B_l, (2, 0, 1))[: N - 1]
+    Q = jnp.transpose(Q_l, (2, 0, 1))
+    qv = q_l.T                                            # (N, nx)
+    xnext = xnext_l.T                                     # (N, nx)
+    u = xu[:, nx:]
+
+    defect = x[1:] - xnext[:-1]
+    c = jnp.concatenate([(x[0] - xs)[None], defect], axis=0)
+
+    R = jnp.broadcast_to(
+        cost.r_cost * jnp.eye(nq, dtype=dtype), (N - 1, nq, nq)
+    )
+    r = cost.r_cost * u[: N - 1]
+    return KKTBlocks(Q=Q, q=qv, R=R, r=r, A=A, B=B, c=c)

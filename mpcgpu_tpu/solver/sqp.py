@@ -81,9 +81,21 @@ def sqp_solve(
     # self-consistent with the candidates, which always include it.
 
     if merit_impl == "auto":
-        use_pallas_merit = jax.default_backend() == "tpu" and cost.mode == "ee"
+        use_pallas = jax.default_backend() == "tpu" and cost.mode == "ee"
     else:
-        use_pallas_merit = merit_impl == "pallas"
+        use_pallas = merit_impl == "pallas"
+    use_pallas_merit = use_pallas
+
+    if use_pallas:
+        from mpcgpu_tpu.solver.kkt_pallas import build_kkt_pallas
+
+        def make_kkt(xu):
+            return build_kkt_pallas(
+                model, cost, xu, xs, ee_goal, dt, integrator_type
+            )
+    else:
+        def make_kkt(xu):
+            return build_kkt(model, cost, xu, xs, ee_goal, dt, integrator_type)
 
     def solve_linsys(schur, lam):
         if linsys == "pcg":
@@ -119,7 +131,7 @@ def sqp_solve(
         xu, lam, rho, drho = state["xu"], state["lam"], state["rho"], state["drho"]
         it = state["it"]
 
-        kkt = build_kkt(model, cost, xu, xs, ee_goal, dt, integrator_type)
+        kkt = make_kkt(xu)
         schur = form_schur_system(kkt, rho, preconditioner=pcg_cfg.preconditioner)
         lam, lin_iters, lin_ok = solve_linsys(schur, lam)
         dz = compute_dz(kkt, schur, lam)

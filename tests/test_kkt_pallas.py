@@ -1,0 +1,51 @@
+"""Fused Pallas KKT kernel vs the XLA build_kkt reference (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpcgpu_tpu.config import CostConfig
+from mpcgpu_tpu.models import iiwa14
+from mpcgpu_tpu.solver.kkt import build_kkt
+from mpcgpu_tpu.solver.kkt_pallas import build_kkt_pallas
+from mpcgpu_tpu.utils.trajfiles import load_eepos_traj, load_xu_traj
+
+
+@pytest.fixture(scope="module")
+def problem():
+    N = 16
+    dtype = jnp.float32
+    model = iiwa14(dtype=dtype)
+    cost = CostConfig.for_knots(N)
+    xu = jnp.asarray(load_xu_traj("0_0")[:N], dtype)
+    ee = jnp.asarray(load_eepos_traj("0_0")[:N], dtype)
+    xu = xu + 0.01 * jax.random.normal(jax.random.PRNGKey(0), xu.shape, dtype)
+    return model, cost, xu, xu[0, :14], ee
+
+
+@pytest.mark.parametrize("integrator_type", [0, 1])
+def test_matches_xla_build_kkt(problem, integrator_type):
+    model, cost, xu, xs, ee = problem
+    ref = build_kkt(model, cost, xu, xs, ee, 1 / 64.0, integrator_type)
+    out = build_kkt_pallas(model, cost, xu, xs, ee, 1 / 64.0,
+                           integrator_type, interpret=True)
+    for f in ("Q", "q", "R", "r", "A", "B", "c"):
+        a = np.asarray(getattr(ref, f))
+        b = np.asarray(getattr(out, f))
+        scale = max(float(np.max(np.abs(a))), 1e-12)
+        np.testing.assert_allclose(b, a, atol=5e-5 * scale,
+                                   err_msg=f"block {f} mismatch")
+
+
+def test_terminal_eval_quirk(problem):
+    """terminal_at_last_state=False must evaluate knot N-1's cost at x_{N-2}
+    (the reference's behavior, iiwa_eepos_plant.cuh:399)."""
+    import dataclasses
+
+    model, cost, xu, xs, ee = problem
+    cost_q = dataclasses.replace(cost, terminal_at_last_state=False)
+    ref = build_kkt(model, cost_q, xu, xs, ee, 1 / 64.0)
+    out = build_kkt_pallas(model, cost_q, xu, xs, ee, 1 / 64.0, interpret=True)
+    np.testing.assert_allclose(np.asarray(out.q), np.asarray(ref.q),
+                               atol=1e-5, rtol=1e-4)
