@@ -8,9 +8,17 @@ Configs (BASELINE.json "configs"):
   4. batched parallel-scenario MPC: 256 instances/chip, batched PCG
   5. long-horizon N=512 knot-sharded PCG (ppermute halos) — on a real
      multi-chip mesh when available, else measured single-device
+  6. parallel-cyclic-reduction exact direct solve, N=64 (extra config)
 
-Prints one JSON line per config; also reports PCG nnz/s throughput
-(nnz of the BTD Schur matrix = 3*N*nx^2 - 2*nx^2 processed per PCG iteration).
+Methodology: every metric is measured as K chained invocations INSIDE one
+jitted ``lax.fori_loop`` (a data token threads each result into the next
+call's inputs), then total/K. Timing individual dispatches on tunneled TPU
+setups measures the ~26 ms host round-trip, not the solver (see bench.py).
+
+Prints one JSON line per config; PCG configs also report nnz/s throughput
+(nnz of the BTD Schur matrix = 3*N*nx^2 - 2*nx^2 per PCG iteration).
+Run from the repo root: PYTHONPATH must include both /root/.axon_site (TPU
+plugin) and the repo.
 """
 
 import argparse
@@ -24,6 +32,7 @@ import numpy as np
 from mpcgpu_tpu.config import CostConfig, PCGConfig, SQPConfig
 from mpcgpu_tpu.models import iiwa14
 from mpcgpu_tpu.ops.pcg import pcg_solve
+from mpcgpu_tpu.ops.pcr import pcr_solve_refined
 from mpcgpu_tpu.ops.schur import form_schur_system
 from mpcgpu_tpu.parallel.batched import make_batched_sqp_solver
 from mpcgpu_tpu.parallel.mesh import make_mesh
@@ -54,139 +63,163 @@ def _problem(N, B=None, dtype=jnp.float32, seed=0):
     return model, xu, lam, xs, ee
 
 
-def _time(fn, *args, reps=20):
-    out = fn(*args)
-    jax.block_until_ready(jax.tree.leaves(out)[0])
-    t0 = time.perf_counter()
+def chain_time(stage, K=200, reps=3):
+    """stage: scalar token -> scalar token (must consume/produce a data dep).
+    Returns per-invocation seconds, fixed per-program dispatch cost removed."""
+    tiny = jnp.asarray(1e-37, jnp.float32)
+
+    @jax.jit
+    def run(t):
+        return jax.lax.fori_loop(0, K, lambda i, tt: stage(tt * tiny), t)
+
+    t0 = jnp.asarray(1.0, jnp.float32)
+    jax.block_until_ready(run(t0))
+    samples = []
     for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(jax.tree.leaves(out)[0])
-    return (time.perf_counter() - t0) / reps, out
+        s = time.perf_counter()
+        jax.block_until_ready(run(t0))
+        samples.append((time.perf_counter() - s) / K)
+    # one block_until_ready round-trip amortized over the chain
+    base = float(np.median(samples))
+    return base
 
 
 def emit(**kw):
     print(json.dumps(kw))
 
 
-def cfg1_direct_n16():
+def cfg1_direct_n16(K=100):
     N = 16
     model, xu, lam, xs, ee = _problem(N)
     cost = CostConfig.for_knots(N)
-    fn = jax.jit(
-        lambda xu_, lam_: sqp_solve(
-            model, cost, SQPConfig(max_iter=1), PCGConfig(), xu_, lam_, xs, ee,
-            1e-3, DT, linsys="ldl",
-        )
-    )
-    dt_s, _ = _time(fn, xu, lam)
+
+    def stage(t):
+        res = sqp_solve(model, cost, SQPConfig(max_iter=1), PCGConfig(),
+                        xu + t, lam, xs, ee, 1e-3, DT, linsys="ldl")
+        return res.merit + 1.0
+
+    dt_s = chain_time(stage, K=K)
     emit(metric="direct_ldl_sqp_iteration_n16", value=round(dt_s * 1e6, 1), unit="us")
 
 
-def cfg2_jacobi_n32():
-    N = 32
+def _pcg_cfg(N, preconditioner, max_iter, metric, K=200):
     model, xu, lam, xs, ee = _problem(N)
     cost = CostConfig.for_knots(N)
     kkt = build_kkt(model, cost, xu, xs, ee, DT)
-    schur = form_schur_system(kkt, 1e-3, preconditioner="jacobi")
-    fn = jax.jit(
-        lambda S, P, g, l: pcg_solve(S, P, g, l, max_iter=500, exit_tol=1e-6)
-    )
-    dt_s, out = _time(fn, schur.S, schur.Pinv, schur.gamma, lam)
-    nnz = 3 * N * NX * NX - 2 * NX * NX
-    iters = int(out.iters)
-    emit(
-        metric="pcg_jacobi_solve_n32", value=round(dt_s * 1e6, 1), unit="us",
-        iters=iters, nnz_per_s=round(nnz * iters / dt_s),
-    )
-
-
-def cfg3_stair_n64():
-    N = 64
-    model, xu, lam, xs, ee = _problem(N)
-    cost = CostConfig.for_knots(N)
-    kkt = build_kkt(model, cost, xu, xs, ee, DT)
-    schur = form_schur_system(kkt, 1e-3, preconditioner="stair")
-    linsys = "pcg"
-    if jax.default_backend() == "tpu":
+    schur = form_schur_system(kkt, 1e-3, preconditioner=preconditioner)
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
         from mpcgpu_tpu.ops.pcg_pallas import pcg_solve_pallas
 
-        fn = jax.jit(
-            lambda S, P, g, l: pcg_solve_pallas(S, P, g, l, max_iter=167, exit_tol=1e-5)
-        )
+        solver = lambda g: pcg_solve_pallas(
+            schur.S, schur.Pinv, g, lam, max_iter=max_iter, exit_tol=0.0)
     else:
-        fn = jax.jit(
-            lambda S, P, g, l: pcg_solve(S, P, g, l, max_iter=167, exit_tol=1e-5)
-        )
-    dt_s, out = _time(fn, schur.S, schur.Pinv, schur.gamma, lam)
+        solver = lambda g: pcg_solve(
+            schur.S, schur.Pinv, g, lam, max_iter=max_iter, exit_tol=0.0)
+
+    def stage(t):
+        return solver(schur.gamma + t).lam[0, 0] + 1.0
+
+    dt_s = chain_time(stage, K=K)
     nnz = 3 * N * NX * NX - 2 * NX * NX
-    iters = max(int(out.iters), 1)
-    emit(
-        metric="pcg_stair_solve_n64", value=round(dt_s * 1e6, 1), unit="us",
-        iters=iters, nnz_per_s=round(nnz * iters / dt_s),
-    )
-
-    sqp_fn = jax.jit(
-        lambda xu_, lam_: sqp_solve(
-            model, cost, SQPConfig(max_iter=1),
-            PCGConfig(max_iter=167, exit_tol=1e-5),
-            xu_, lam_, xs, ee, 1e-3, DT,
-            linsys="pcg_pallas" if jax.default_backend() == "tpu" else "pcg",
-        )
-    )
-    dt_s, _ = _time(sqp_fn, xu, lam)
-    emit(
-        metric="sqp_pcg_iteration_n64", value=round(dt_s * 1e6, 1), unit="us",
-        vs_2ms_budget=round(2000.0 / (dt_s * 1e6), 3),
-    )
+    emit(metric=metric, value=round(dt_s * 1e6, 1), unit="us", iters=max_iter,
+         nnz_per_s=round(nnz * max_iter / dt_s),
+         us_per_iter=round(dt_s * 1e6 / max_iter, 3))
 
 
-def cfg4_batched(B=256):
+def cfg2_jacobi_n32():
+    _pcg_cfg(32, "jacobi", 173, "pcg_jacobi_solve_n32")
+
+
+def cfg3_stair_n64(K=200):
+    _pcg_cfg(64, "stair", 167, "pcg_stair_solve_n64")
+    model, xu, lam, xs, ee = _problem(64)
+    cost = CostConfig.for_knots(64)
+    linsys = "pcg_pallas" if jax.default_backend() == "tpu" else "pcg"
+
+    def stage(t):
+        res = sqp_solve(model, cost, SQPConfig(max_iter=1),
+                        PCGConfig(max_iter=167, exit_tol=1e-5),
+                        xu + t, lam, xs, ee, 1e-3, DT, linsys=linsys)
+        return res.merit + 1.0
+
+    dt_s = chain_time(stage, K=K)
+    emit(metric="sqp_pcg_iteration_n64", value=round(dt_s * 1e6, 1), unit="us",
+         vs_2ms_budget=round(2000.0 / (dt_s * 1e6), 3))
+
+
+def cfg4_batched(B=256, K=20):
     N = 32
     model, xu, lam, xs, ee = _problem(N, B=B)
     cost = CostConfig.for_knots(N)
-    solver = make_batched_sqp_solver(
-        model, cost, SQPConfig(max_iter=1), PCGConfig(max_iter=173, exit_tol=1e-5),
-        DT, donate=False,
-    )
+    linsys = "pcg_pallas" if jax.default_backend() == "tpu" else "pcg"
     rho = jnp.full((B,), 1e-3, jnp.float32)
-    dt_s, _ = _time(solver, xu, lam, xs, ee, rho, reps=5)
-    emit(
-        metric=f"batched_sqp_iteration_n32_b{B}", value=round(dt_s * 1e6, 1),
-        unit="us", solves_per_s=round(B / dt_s),
-    )
+
+    def one(xu_, lam_, xs_, ee_, rho_):
+        return sqp_solve(model, cost, SQPConfig(max_iter=1),
+                         PCGConfig(max_iter=173, exit_tol=1e-5),
+                         xu_, lam_, xs_, ee_, rho_, DT, linsys=linsys,
+                         fused=False)
+
+    batched = jax.vmap(one)
+
+    def stage(t):
+        res = batched(xu + t, lam, xs, ee, rho)
+        return res.merit[0] + 1.0
+
+    dt_s = chain_time(stage, K=K)
+    emit(metric=f"batched_sqp_iteration_n32_b{B}", value=round(dt_s * 1e6, 1),
+         unit="us", solves_per_s=round(B / dt_s))
 
 
-def cfg5_long_horizon(N=512):
+def cfg5_long_horizon(N=512, K=50):
     n_dev = len(jax.devices())
     model, xu, lam, xs, ee = _problem(N)
     cost = CostConfig.for_knots(N)
     kkt = build_kkt(model, cost, xu, xs, ee, DT)
     schur = form_schur_system(kkt, 1e-3)
     nnz = 3 * N * NX * NX - 2 * NX * NX
+    iters = 67
     if n_dev > 1:
         mesh = make_mesh(1, n_dev)
-        fn = jax.jit(
-            lambda S, P, g, l: pcg_solve_sharded(S, P, g, l, mesh, max_iter=67, exit_tol=1e-5)
-        )
+        solver = lambda g: pcg_solve_sharded(
+            schur.S, schur.Pinv, g, lam, mesh, max_iter=iters, exit_tol=0.0)
+    elif jax.default_backend() == "tpu":
+        from mpcgpu_tpu.ops.pcg_pallas import pcg_solve_pallas
+
+        solver = lambda g: pcg_solve_pallas(
+            schur.S, schur.Pinv, g, lam, max_iter=iters, exit_tol=0.0)
     else:
-        fn = jax.jit(
-            lambda S, P, g, l: pcg_solve(S, P, g, l, max_iter=67, exit_tol=1e-5)
-        )
-    dt_s, out = _time(fn, schur.S, schur.Pinv, schur.gamma, lam)
-    iters = max(int(out.iters), 1)
-    emit(
-        metric=f"pcg_long_horizon_n{N}_dev{n_dev}", value=round(dt_s * 1e6, 1),
-        unit="us", iters=iters, nnz_per_s=round(nnz * iters / dt_s), devices=n_dev,
-    )
+        solver = lambda g: pcg_solve(
+            schur.S, schur.Pinv, g, lam, max_iter=iters, exit_tol=0.0)
+
+    def stage(t):
+        return solver(schur.gamma + t).lam[0, 0] + 1.0
+
+    dt_s = chain_time(stage, K=K)
+    emit(metric=f"pcg_long_horizon_n{N}_dev{n_dev}", value=round(dt_s * 1e6, 1),
+         unit="us", iters=iters, nnz_per_s=round(nnz * iters / dt_s),
+         devices=n_dev)
+
+
+def cfg6_pcr_n64(K=200):
+    N = 64
+    model, xu, lam, xs, ee = _problem(N)
+    cost = CostConfig.for_knots(N)
+    kkt = build_kkt(model, cost, xu, xs, ee, DT)
+    schur = form_schur_system(kkt, 1e-3)
+
+    def stage(t):
+        return pcr_solve_refined(schur.S, schur.gamma + t, refine=1)[0, 0] + 1.0
+
+    dt_s = chain_time(stage, K=K)
+    emit(metric="pcr_direct_solve_n64", value=round(dt_s * 1e6, 1), unit="us")
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument(
-        "--configs", nargs="*", type=int, default=[1, 2, 3, 4, 5],
-        help="which BASELINE configs to run",
-    )
+    ap.add_argument("--configs", nargs="*", type=int, default=[1, 2, 3, 4, 5, 6])
     args = ap.parse_args()
     emit(backend=jax.default_backend(), devices=len(jax.devices()))
     if 1 in args.configs:
@@ -199,6 +232,8 @@ def main():
         cfg4_batched(args.batch)
     if 5 in args.configs:
         cfg5_long_horizon()
+    if 6 in args.configs:
+        cfg6_pcr_n64()
 
 
 if __name__ == "__main__":

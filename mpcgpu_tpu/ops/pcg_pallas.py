@@ -97,8 +97,8 @@ def _make_pcg_kernel(unroll: int):
         lam, r, p, eta, it, done = jax.lax.while_loop(cond, body, init)
 
         lam_ref[:] = lam
-        iters_ref[0] = it
-        conv_ref[0] = done.astype(jnp.int32)
+        iters_ref[:] = jnp.full((1, 1), it, jnp.int32)
+        conv_ref[:] = jnp.full((1, 1), done.astype(jnp.int32), jnp.int32)
 
     return _pcg_kernel
 
@@ -112,13 +112,29 @@ def pcg_solve_pallas(S, Pinv, gamma, lam0, max_iter: int = 173, exit_tol=1e-6,
     Accepts the standard (N, 3, n, n) BTD layout; transposition to the
     lane-packed layout happens in XLA (fused with upstream Schur formation).
     """
-    N, _, n, _ = S.shape
-    dtype = gamma.dtype
-
     S_l = jnp.transpose(S, (1, 2, 3, 0))       # (3, n, n, N)
     P_l = jnp.transpose(Pinv, (1, 2, 3, 0))
     g_l = jnp.transpose(gamma, (1, 0))          # (n, N)
     l_l = jnp.transpose(lam0, (1, 0))
+    res = pcg_solve_pallas_lanes(S_l, P_l, g_l, l_l, max_iter=max_iter,
+                                 exit_tol=exit_tol, interpret=interpret,
+                                 unroll=unroll)
+    return PCGResult(lam=res.lam.T, iters=res.iters, converged=res.converged)
+
+
+@highest_precision
+@partial(jax.jit, static_argnames=("max_iter", "interpret", "unroll"))
+def pcg_solve_pallas_lanes(S_l, P_l, g_l, l_l, max_iter: int = 173,
+                           exit_tol=1e-6, interpret: bool = False,
+                           unroll: int = 4) -> PCGResult:
+    """Lane-layout entry: S/Pinv (3, n, n, N), gamma/lam0 (n, N).
+
+    Used by the fused KKT+Schur kernel path (solver/kkt_pallas.py), which
+    emits this layout directly so no transposes sit between the kernels.
+    Returns PCGResult with lam in (n, N) lane layout.
+    """
+    _, n, _, N = S_l.shape
+    dtype = g_l.dtype
 
     max_iter_arr = jnp.asarray([max_iter], jnp.int32)
     tol_arr = jnp.asarray([exit_tol], dtype)
@@ -127,8 +143,8 @@ def pcg_solve_pallas(S, Pinv, gamma, lam0, max_iter: int = 173, exit_tol=1e-6,
         _make_pcg_kernel(unroll),
         out_shape=(
             jax.ShapeDtypeStruct((n, N), dtype),
-            jax.ShapeDtypeStruct((1,), jnp.int32),
-            jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -140,14 +156,14 @@ def pcg_solve_pallas(S, Pinv, gamma, lam0, max_iter: int = 173, exit_tol=1e-6,
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
     )(g_l, l_l, S_l, P_l, max_iter_arr, tol_arr)
 
     return PCGResult(
-        lam=jnp.transpose(lam_l, (1, 0)),
-        iters=iters[0],
-        converged=conv[0].astype(jnp.bool_),
+        lam=lam_l,
+        iters=iters[0, 0],
+        converged=conv[0, 0].astype(jnp.bool_),
     )

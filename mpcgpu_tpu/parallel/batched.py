@@ -33,12 +33,17 @@ def make_batched_sqp_solver(
     linsys: str = "pcg",
     donate: bool = True,
 ):
+    # NOTE: the fully-fused single-instance kernel pipeline is disabled under
+    # the batch vmap — its inter-kernel buffers get VMEM-pinned by XLA and a
+    # large instance batch exceeds the scoped VMEM budget. The batched path
+    # uses the XLA KKT/Schur stages with the (vmappable) PCG/merit kernels.
     """fn(xu (B,N,nx+nu), lam (B,N,nx), xs (B,nx), ee_goal (B,N,6), rho (B,))
     -> batched SQPResult."""
 
     def _solve_one(xu, lam, xs, ee_goal, rho):
         return sqp_solve(
-            model, cost, sqp_cfg, pcg_cfg, xu, lam, xs, ee_goal, rho, dt, linsys=linsys
+            model, cost, sqp_cfg, pcg_cfg, xu, lam, xs, ee_goal, rho, dt,
+            linsys=linsys, fused=False,
         )
 
     batched = jax.vmap(_solve_one)

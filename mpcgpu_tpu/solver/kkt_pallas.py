@@ -136,16 +136,13 @@ def _mmn(Ma, Mb, n):
     return jnp.stack(cols, axis=1)
 
 
-def _make_kkt_kernel(nq: int, N: int, integrator_type: int, gravity: float,
-                     qd_cost: float, debug_stage: int = 99):
-    """debug_stage < 99 truncates the kernel after that stage (zeros for the
-    remaining outputs) — a Mosaic-crash bisection aid; not a public knob."""
+def _kkt_core(xu_ref, xeval_ref, goal_ref, dt,
+              xc_ref, xsin_ref, xcos_ref, I_ref, hc_ref, hsin_ref, hcos_ref,
+              nq, N, integrator_type, gravity, qd_cost):
+    """Traced core shared by the KKT and KKT+Schur kernels; returns the
+    lane-packed blocks (Amat, Bmat, Qmat, grad, xnext, Minv, qdd, dqdd)."""
     nx = 2 * nq
-
-    def kernel(xu_ref, xeval_ref, goal_ref, dt_ref,
-               xc_ref, xsin_ref, xcos_ref, I_ref, hc_ref, hsin_ref, hcos_ref,
-               A_ref, Bm_ref, Q_ref, qv_ref, xnext_ref, minv_ref):
-        dt = dt_ref[0]
+    if True:
         xu = xu_ref[:]                               # (nx+nu, N)
         q = xu[0:nq]
         qd = xu[nq:nx]
@@ -328,6 +325,21 @@ def _make_kkt_kernel(nq: int, N: int, integrator_type: int, gravity: float,
         qd_diag = ((rowx == colx) & (rowx >= nq)).astype(xu.dtype) * qd_cost
         Qmat = Qmat + qd_diag
 
+        return Amat, Bmat, Qmat, grad, xnext, Minv, qdd, dqdd
+
+
+def _make_kkt_kernel(nq: int, N: int, integrator_type: int, gravity: float,
+                     qd_cost: float, debug_stage: int = 99):
+    """debug_stage < 99 truncates the kernel after that stage (zeros for the
+    remaining outputs) — a Mosaic-crash bisection aid; not a public knob."""
+
+    def kernel(xu_ref, xeval_ref, goal_ref, dt_ref,
+               xc_ref, xsin_ref, xcos_ref, I_ref, hc_ref, hsin_ref, hcos_ref,
+               A_ref, Bm_ref, Q_ref, qv_ref, xnext_ref, minv_ref):
+        Amat, Bmat, Qmat, grad, xnext, Minv, qdd, dqdd = _kkt_core(
+            xu_ref, xeval_ref, goal_ref, dt_ref[0],
+            xc_ref, xsin_ref, xcos_ref, I_ref, hc_ref, hsin_ref, hcos_ref,
+            nq, N, integrator_type, gravity, qd_cost)
         if debug_stage < 99:
             z = [jnp.zeros_like(Amat), jnp.zeros_like(Bmat), jnp.zeros_like(Qmat),
                  jnp.zeros_like(grad), jnp.zeros_like(xnext), jnp.zeros_like(Minv)]
@@ -423,3 +435,233 @@ def build_kkt_pallas(
     )
     r = cost.r_cost * u[: N - 1]
     return KKTBlocks(Q=Q, q=qv, R=R, r=r, A=A, B=B, c=c)
+
+
+# ---------------------------------------------------------------------------
+# fused KKT + Schur condensation (+ lane-layout outputs for the PCG kernel)
+# ---------------------------------------------------------------------------
+
+
+def _mvn(M, v):
+    """(n,n,B) @ (n,B) matvec."""
+    n = M.shape[1]
+    acc = M[:, 0, :] * v[0:1, :]
+    for j in range(1, n):
+        acc = acc + M[:, j, :] * v[j : j + 1, :]
+    return acc
+
+
+def _mvn_T(M, v):
+    """M^T @ v for M (n,n,B): out[i] = sum_j M[j,i] v[j]."""
+    n = M.shape[0]
+    acc = M[0, :, :] * v[0:1, :]
+    for j in range(1, n):
+        acc = acc + M[j, :, :] * v[j : j + 1, :]
+    return acc
+
+
+def _mmn_bt(Ma, Mb, n):
+    """Ma @ Mb^T for (n,n,B) operands: out[i,l] = sum_j Ma[i,j] Mb[l,j]."""
+    cols = []
+    for l in range(n):
+        acc = Ma[:, 0, :] * Mb[l : l + 1, 0, :]
+        for j in range(1, n):
+            acc = acc + Ma[:, j, :] * Mb[l : l + 1, j, :]
+        cols.append(acc)
+    return jnp.stack(cols, axis=1)
+
+
+def _make_kkt_schur_kernel(nq: int, N: int, integrator_type: int,
+                           gravity: float, qd_cost: float, r_cost: float):
+    """KKT assembly + Schur condensation + stair preconditioner, one kernel.
+
+    Emits (S, Pinv, gamma) DIRECTLY in the lane layout the PCG kernel wants
+    (ops/pcg_pallas.py), plus the blocks dz recovery needs.  Math mirrors
+    ops/schur.py::form_schur_system exactly; R + rho*I is diagonal
+    ((r_cost + rho) I), so its inverse is the scalar 1/(r_cost + rho) —
+    the reference inverts it with Gauss-Jordan anyway
+    (pcg/linsys_setup.cuh:357-369)."""
+    nx = 2 * nq
+
+    def kernel(xu_ref, xeval_ref, goal_ref, rho_ref, dt_ref,
+               xc_ref, xsin_ref, xcos_ref, I_ref, hc_ref, hsin_ref, hcos_ref,
+               S_ref, P_ref, gam_ref, Qinv_ref, A_ref, Bm_ref, qv_ref):
+        dt = dt_ref[0]
+        # rho rides a (1, N) VMEM row (an SMEM scalar cannot carry a vmap
+        # batch dim; this layout keeps the kernel vmappable per instance)
+        rho_row = rho_ref[:]                          # (1, N)
+        rho3 = rho_row[None]                          # (1, 1, N)
+        Amat, Bmat, Qmat, grad, xnext, Minv, qdd, dqdd = _kkt_core(
+            xu_ref, xeval_ref, goal_ref, dt,
+            xc_ref, xsin_ref, xcos_ref, I_ref, hc_ref, hsin_ref, hcos_ref,
+            nq, N, integrator_type, gravity, qd_cost)
+        dtype = Amat.dtype
+        u = xu_ref[nx : nx + nq, :]
+        x_cur = xu_ref[0:nx, :]
+
+        rowx = jax.lax.broadcasted_iota(jnp.int32, (nx, nx, N), 0)
+        colx = jax.lax.broadcasted_iota(jnp.int32, (nx, nx, N), 1)
+        kmat = jax.lax.broadcasted_iota(jnp.int32, (nx, nx, N), 2)
+        kvec = jax.lax.broadcasted_iota(jnp.int32, (nx, N), 1)
+        eyex = (rowx == colx).astype(dtype)
+
+        s_r = 1.0 / (r_cost + rho_row)                # (R+rho I)^{-1}, (1, N)
+        s_r3 = s_r[None]                              # (1, 1, N)
+        Qinv = _gj_inverse_lanes(Qmat + rho3 * eyex, nx)
+
+        AQ = _mmn(Amat, Qinv, nx)                     # A_k Qr_k^{-1} at lane k
+        AQAT = _mmn_bt(AQ, Amat, nx)
+        MM = _mmn_bt(Minv, Minv, nq)                  # Minv Minv^T (7,7,N)
+        # B Rr^{-1} B^T = s_r * dt^2 * [[0,0],[0, MM]]  (B = [0; dt Minv];
+        # semi-implicit B = [dt^2 Minv; dt Minv] adds more blocks)
+        if integrator_type == 0:
+            brbt = jnp.concatenate([
+                jnp.zeros((nq, nx, N), dtype),
+                jnp.concatenate([jnp.zeros((nq, nq, N), dtype),
+                                 (dt * dt) * (s_r3 * MM)], axis=1),
+            ], axis=0)
+        else:
+            d2 = dt * dt
+            sMM = s_r3 * MM
+            brbt = jnp.concatenate([
+                jnp.concatenate([d2 * d2 * sMM, d2 * dt * sMM], axis=1),
+                jnp.concatenate([d2 * dt * sMM, dt * dt * sMM], axis=1),
+            ], axis=0)
+        T = AQAT + brbt                               # theta contribution of lane k -> k+1
+
+        not0 = (kmat >= 1).astype(dtype)
+        notl = (kmat <= N - 2).astype(dtype)
+        theta = Qinv + not0 * pltpu.roll(T, 1, axis=2)
+        phi = -not0 * pltpu.roll(AQ, 1, axis=2)       # block (k, k-1)
+        QA_T = _mmn_bt(Qinv, Amat, nx)                # Qinv_k A_k^T = (AQ_k)^T
+        phiT = -notl * QA_T                           # block (k, k+1)
+
+        # gamma (ops/schur.py:94-101); c_0 excluded by construction
+        defect = x_cur - pltpu.roll(xnext, 1, axis=1)           # c_k, valid k >= 1
+        aqq = _mvn(AQ, grad)                                    # AQ_k q_k
+        bu = jnp.concatenate(
+            [jnp.zeros((nq, N), dtype), dt * _mvn(Minv, u)], axis=0
+        ) if integrator_type == 0 else jnp.concatenate(
+            [dt * dt * _mvn(Minv, u), dt * _mvn(Minv, u)], axis=0
+        )
+        brr = (r_cost * s_r) * bu                               # B Rr^{-1} r_k
+        n0v = (kvec >= 1).astype(dtype)
+        gamma = _mvn(Qinv, grad) - n0v * (
+            defect + pltpu.roll(aqq, 1, axis=1) + pltpu.roll(brr, 1, axis=1)
+        )
+
+        # symmetric-stair preconditioner (ops/schur.py:120-131)
+        D = _gj_inverse_lanes(theta, nx)
+        left = -not0 * _mmn(_mmn(D, phi, nx), pltpu.roll(D, 1, axis=2), nx)
+        right = -notl * _mmn(_mmn(D, phiT, nx), pltpu.roll(D, N - 1, axis=2), nx)
+
+        S_ref[0] = phi
+        S_ref[1] = theta
+        S_ref[2] = phiT
+        P_ref[0] = left
+        P_ref[1] = D
+        P_ref[2] = right
+        gam_ref[:] = gamma
+        Qinv_ref[:] = Qinv
+        A_ref[:] = Amat
+        Bm_ref[:] = Bmat
+        qv_ref[:] = grad
+
+    return kernel
+
+
+@highest_precision
+@partial(jax.jit, static_argnames=("cost", "integrator_type", "interpret"))
+def build_kkt_schur_pallas(
+    model: RobotModel, cost: CostConfig, xu, xs, ee_goal, rho, dt,
+    integrator_type: int = 0, interpret: bool = False,
+):
+    """One kernel: KKT blocks -> (S, Pinv, gamma) + dz inputs, lane layout.
+
+    Returns a dict with lane-packed arrays:
+      S, Pinv (3, nx, nx, N); gamma (nx, N); Qinv (nx, nx, N);
+      A (nx, nx, N); B (nx, nq, N); q (nx, N); plus scalars dt/rho echoes.
+    Feed S/Pinv/gamma straight to ops.pcg_pallas.pcg_solve_pallas_lanes.
+    """
+    if cost.mode != "ee":
+        raise ValueError("pallas KKT+Schur kernel supports ee cost mode only")
+    nq = model.nq
+    nx = 2 * nq
+    N = xu.shape[0]
+    dtype = xu.dtype
+
+    x = xu[:, :nx]
+    x_eval = x if cost.terminal_at_last_state else x.at[N - 1].set(x[N - 2])
+    rho_row = jnp.broadcast_to(jnp.asarray(rho, dtype), (1, N))
+    dt_arr = jnp.asarray([dt], dtype)
+
+    S, P, gamma, Qinv, A, B, qv = pl.pallas_call(
+        _make_kkt_schur_kernel(nq, N, integrator_type, float(model.gravity),
+                               float(cost.qd_cost), float(cost.r_cost)),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, nx, nx, N), dtype),
+            jax.ShapeDtypeStruct((3, nx, nx, N), dtype),
+            jax.ShapeDtypeStruct((nx, N), dtype),
+            jax.ShapeDtypeStruct((nx, nx, N), dtype),
+            jax.ShapeDtypeStruct((nx, nx, N), dtype),
+            jax.ShapeDtypeStruct((nx, nq, N), dtype),
+            jax.ShapeDtypeStruct((nx, N), dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(7)),
+        interpret=interpret,
+    )(xu.T, x_eval.T, ee_goal[:, :3].T, rho_row, dt_arr,
+      model.xc, model.xs, model.xcos, model.inertia,
+      model.hc, model.hs, model.hcos)
+    return dict(S=S, Pinv=P, gamma=gamma, Qinv=Qinv, A=A, B=B, q=qv)
+
+
+def _make_dz_kernel(nq: int, N: int, integrator_type: int):
+    nx = 2 * nq
+
+    def kernel(lam_ref, Qinv_ref, A_ref, Bm_ref, qv_ref, u_ref, rho_ref,
+               scal_ref, dz_ref):
+        r_cost = scal_ref[0]
+        rho_row = rho_ref[:]                                # (1, N)
+        lam = lam_ref[:]                                    # (nx, N)
+        kvec = jax.lax.broadcasted_iota(jnp.int32, (nx, N), 1)
+        notl = (kvec <= N - 2).astype(lam.dtype)
+        lam_n = pltpu.roll(lam, N - 1, axis=1) * notl       # lam_{k+1}, 0 at N-1
+        rhs = qv_ref[:] - lam + _mvn_T(A_ref[:], lam_n) * notl
+        dx = _mvn(Qinv_ref[:], rhs)
+        # du = (R+rho I)^{-1} (r + B^T lam_{k+1})
+        s_r = 1.0 / (r_cost + rho_row)
+        u = u_ref[:]
+        bt = _mvn_T(Bm_ref[:], lam_n)                       # B^T lam_+ (nq, N)
+        kq = jax.lax.broadcasted_iota(jnp.int32, (nq, N), 1)
+        du = s_r * (r_cost * u + bt) * (kq <= N - 2).astype(lam.dtype)
+        dz_ref[:] = jnp.concatenate([dx, du], axis=0)
+
+    return kernel
+
+
+@highest_precision
+@partial(jax.jit, static_argnames=("integrator_type", "interpret"))
+def compute_dz_pallas(lane_kkt: dict, lam, u, rho, dt, r_cost,
+                      integrator_type: int = 0, interpret: bool = False):
+    """dz recovery from lane-packed blocks (include/common/dz.cuh equivalent).
+
+    lam: (N, nx) costate solve; u: (N, nq) controls. Returns dz (N, nx+nq).
+    """
+    Qinv = lane_kkt["Qinv"]
+    nx, _, N = Qinv.shape
+    nq = nx // 2
+    dtype = Qinv.dtype
+    rho_row = jnp.broadcast_to(jnp.asarray(rho, dtype), (1, N))
+    scal = jnp.asarray([r_cost], dtype)
+    dz_l = pl.pallas_call(
+        _make_dz_kernel(nq, N, integrator_type),
+        out_shape=jax.ShapeDtypeStruct((nx + nq, N), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(lam.T, Qinv, lane_kkt["A"], lane_kkt["B"], lane_kkt["q"], u.T, rho_row, scal)
+    return dz_l.T

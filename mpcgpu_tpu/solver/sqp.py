@@ -58,11 +58,15 @@ def sqp_solve(
     max_sqp_iter: int | None = None,
     integrator_type: int = 0,
     merit_impl: str = "auto",
+    fused: bool | None = None,
 ) -> SQPResult:
     """One SQP solve. All array args traced; model/configs/linsys static.
 
     merit_impl: "pallas" = fused VMEM line-search kernel (TPU, ee mode),
     "xla" = vmapped merit, "auto" = pallas when on TPU and applicable.
+    fused: force the fully-fused kernel pipeline on/off (None = auto). Turn
+    OFF for large vmap batches: XLA pins the inter-kernel buffers in VMEM and
+    a 256-instance batch of Schur systems exceeds the 16 MB scoped budget.
     """
     N = xu.shape[0]
     nx = lam.shape[-1]
@@ -85,6 +89,12 @@ def sqp_solve(
     else:
         use_pallas = merit_impl == "pallas"
     use_pallas_merit = use_pallas
+    interpret = jax.default_backend() != "tpu"
+    # fully-fused kernel pipeline: KKT+Schur+stair in one kernel emitting the
+    # PCG kernel's lane layout directly, then lane-layout PCG, then dz kernel
+    if fused is None:
+        fused = (use_pallas and linsys == "pcg_pallas"
+                 and pcg_cfg.preconditioner == "stair")
 
     if use_pallas:
         from mpcgpu_tpu.solver.kkt_pallas import build_kkt_pallas
@@ -96,6 +106,28 @@ def sqp_solve(
     else:
         def make_kkt(xu):
             return build_kkt(model, cost, xu, xs, ee_goal, dt, integrator_type)
+
+    def fused_step(xu, lam, rho):
+        """KKT -> Schur -> PCG -> dz entirely through the lane-layout kernels."""
+        from mpcgpu_tpu.ops.pcg_pallas import pcg_solve_pallas_lanes
+        from mpcgpu_tpu.solver.kkt_pallas import (
+            build_kkt_schur_pallas, compute_dz_pallas)
+
+        lane = build_kkt_schur_pallas(
+            model, cost, xu, xs, ee_goal, rho, dt, integrator_type,
+            interpret=interpret,
+        )
+        res = pcg_solve_pallas_lanes(
+            lane["S"], lane["Pinv"], lane["gamma"], lam.T,
+            max_iter=pcg_cfg.max_iter, exit_tol=pcg_cfg.exit_tol,
+            interpret=interpret,
+        )
+        lam_new = res.lam.T
+        dz = compute_dz_pallas(
+            lane, lam_new, xu[:, nx:], rho, dt, cost.r_cost, integrator_type,
+            interpret=interpret,
+        )
+        return lam_new, res.iters, res.converged, dz
 
     def solve_linsys(schur, lam):
         if linsys == "pcg":
@@ -131,10 +163,15 @@ def sqp_solve(
         xu, lam, rho, drho = state["xu"], state["lam"], state["rho"], state["drho"]
         it = state["it"]
 
-        kkt = make_kkt(xu)
-        schur = form_schur_system(kkt, rho, preconditioner=pcg_cfg.preconditioner)
-        lam, lin_iters, lin_ok = solve_linsys(schur, lam)
-        dz = compute_dz(kkt, schur, lam)
+        if fused:
+            lam, lin_iters, lin_ok, dz = fused_step(xu, lam, rho)
+        else:
+            kkt = make_kkt(xu)
+            schur = form_schur_system(
+                kkt, rho, preconditioner=pcg_cfg.preconditioner
+            )
+            lam, lin_iters, lin_ok = solve_linsys(schur, lam)
+            dz = compute_dz(kkt, schur, lam)
 
         if use_pallas_merit:
             from mpcgpu_tpu.solver.merit_pallas import line_search_merits_pallas
@@ -142,6 +179,7 @@ def sqp_solve(
             merits, alphas = line_search_merits_pallas(
                 model, cost, xu, dz, xs, ee_goal, mu, dt,
                 num_alphas=sqp_cfg.num_alphas, integrator_type=integrator_type,
+                interpret=interpret,
             )
         else:
             merits, alphas = line_search_merits(

@@ -49,3 +49,51 @@ def test_terminal_eval_quirk(problem):
     out = build_kkt_pallas(model, cost_q, xu, xs, ee, 1 / 64.0, interpret=True)
     np.testing.assert_allclose(np.asarray(out.q), np.asarray(ref.q),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_fused_kkt_schur_matches_xla(problem):
+    """build_kkt_schur_pallas == build_kkt + form_schur_system (+ dz kernel)."""
+    from mpcgpu_tpu.ops.schur import compute_dz, form_schur_system
+    from mpcgpu_tpu.solver.kkt_pallas import (
+        build_kkt_schur_pallas, compute_dz_pallas)
+
+    model, cost, xu, xs, ee = problem
+    rho = 1e-3
+    kkt = build_kkt(model, cost, xu, xs, ee, 1 / 64.0)
+    schur = form_schur_system(kkt, rho)
+    out = build_kkt_schur_pallas(model, cost, xu, xs, ee, rho, 1 / 64.0,
+                                 interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out["S"]), np.transpose(np.asarray(schur.S), (1, 2, 3, 0)),
+        atol=5e-5 * float(np.max(np.abs(schur.S))))
+    np.testing.assert_allclose(
+        np.asarray(out["Pinv"]), np.transpose(np.asarray(schur.Pinv), (1, 2, 3, 0)),
+        atol=5e-5 * float(np.max(np.abs(schur.Pinv))))
+    np.testing.assert_allclose(
+        np.asarray(out["gamma"]), np.asarray(schur.gamma).T,
+        atol=5e-5 * float(np.max(np.abs(schur.gamma))))
+
+    lam = jax.random.normal(jax.random.PRNGKey(1), (xu.shape[0], 14), jnp.float32)
+    dz_ref = compute_dz(kkt, schur, lam)
+    dz = compute_dz_pallas(out, lam, xu[:, 14:], rho, 1 / 64.0, cost.r_cost,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(dz), np.asarray(dz_ref),
+                               atol=5e-5 * float(np.max(np.abs(dz_ref))))
+
+
+def test_fused_sqp_matches_unfused(problem):
+    """Full fused-pipeline SQP == XLA-path SQP on the same problem."""
+    from mpcgpu_tpu.config import PCGConfig, SQPConfig
+    from mpcgpu_tpu.solver.sqp import sqp_solve
+
+    model, cost, xu, xs, ee = problem
+    lam = jnp.zeros((xu.shape[0], 14), jnp.float32)
+    a = sqp_solve(model, cost, SQPConfig(max_iter=3),
+                  PCGConfig(max_iter=60, exit_tol=1e-6),
+                  xu, lam, xs, ee, 1e-3, 1 / 64.0, linsys="pcg")
+    b = sqp_solve(model, cost, SQPConfig(max_iter=3),
+                  PCGConfig(max_iter=60, exit_tol=1e-6),
+                  xu, lam, xs, ee, 1e-3, 1 / 64.0, linsys="pcg_pallas",
+                  merit_impl="pallas")
+    np.testing.assert_allclose(np.asarray(b.xu), np.asarray(a.xu), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(a.pcg_iters), np.asarray(b.pcg_iters))
