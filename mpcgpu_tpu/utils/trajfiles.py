@@ -17,12 +17,15 @@ _LOCAL_DIR = Path(__file__).resolve().parent.parent.parent / "data" / "trajfiles
 
 
 def trajfile_dir() -> Path:
+    """Preference: $MPCGPU_TPU_TRAJDIR > recorded reference traces (when the
+    reference checkout is present) > generated standalone fixtures
+    (data/trajfiles, produced by tools/make_trajfiles.py)."""
     env = os.environ.get("MPCGPU_TPU_TRAJDIR")
     if env:
         return Path(env)
-    if _LOCAL_DIR.is_dir():
-        return _LOCAL_DIR
-    return _DEFAULT_DIR
+    if _DEFAULT_DIR.is_dir():
+        return _DEFAULT_DIR
+    return _LOCAL_DIR
 
 
 def load_xu_traj(name: str = "0_0", dtype=np.float64) -> np.ndarray:
