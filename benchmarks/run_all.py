@@ -9,6 +9,7 @@ Configs (BASELINE.json "configs"):
   5. long-horizon N=512 knot-sharded PCG (ppermute halos) — on a real
      multi-chip mesh when available, else measured single-device
   6. parallel-cyclic-reduction exact direct solve, N=64 (extra config)
+  7. fully on-device closed-loop MPC (one jitted scan; extra config)
 
 Methodology: every metric is measured as K chained invocations INSIDE one
 jitted ``lax.fori_loop`` (a data token threads each result into the next
@@ -216,10 +217,34 @@ def cfg6_pcr_n64(K=200):
     emit(metric="pcr_direct_solve_n64", value=round(dt_s * 1e6, 1), unit="us")
 
 
+def cfg7_ondevice_sim():
+    import time as _t
+
+    from mpcgpu_tpu.sim.mpc import simulate_mpc_ondevice
+
+    model = iiwa14()
+    xu_traj = np.asarray(load_xu_traj("0_0"))
+    ee_traj = np.asarray(load_eepos_traj("0_0"))
+    scfg = SQPConfig(max_iter=2, max_time_us=None)
+    dev = simulate_mpc_ondevice(model, xu_traj[:300], ee_traj[:300], 32, DT,
+                                sqp_cfg=scfg)
+    jax.block_until_ready(dev["final_tracking_error"])
+    t0 = _t.perf_counter()
+    dev = simulate_mpc_ondevice(model, xu_traj[:300], ee_traj[:300], 32, DT,
+                                sqp_cfg=scfg)
+    jax.block_until_ready(dev["final_tracking_error"])
+    wall = _t.perf_counter() - t0
+    steps = int(dev["control_updates"])
+    emit(metric="ondevice_closed_loop_n32", value=round(wall * 1e6 / steps, 1),
+         unit="us_per_control_step", control_updates=steps,
+         avg_tracking_error=round(float(np.asarray(dev["tracking_errors"]).mean()), 5),
+         run_wall_s=round(wall, 3))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--configs", nargs="*", type=int, default=[1, 2, 3, 4, 5, 6])
+    ap.add_argument("--configs", nargs="*", type=int, default=[1, 2, 3, 4, 5, 6, 7])
     args = ap.parse_args()
     emit(backend=jax.default_backend(), devices=len(jax.devices()))
     if 1 in args.configs:
@@ -234,6 +259,8 @@ def main():
         cfg5_long_horizon()
     if 6 in args.configs:
         cfg6_pcr_n64()
+    if 7 in args.configs:
+        cfg7_ondevice_sim()
 
 
 if __name__ == "__main__":

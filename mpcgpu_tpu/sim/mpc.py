@@ -28,7 +28,7 @@ from mpcgpu_tpu.config import CostConfig, PCGConfig, SimConfig, SQPConfig
 from mpcgpu_tpu.models import dynamics
 from mpcgpu_tpu.models.robot import RobotModel
 from mpcgpu_tpu.precision import highest_precision
-from mpcgpu_tpu.solver.sqp import make_sqp_solver
+from mpcgpu_tpu.solver.sqp import make_sqp_solver, sqp_solve
 
 
 @dataclasses.dataclass
@@ -78,7 +78,7 @@ def _simulate_plant(model: RobotModel, xs, xu_plan, time_offset_s, sim_time_s,
         t, dt = dt_k
         idx = jnp.minimum((t / timestep).astype(jnp.int32), N - 1)
         u = jax.lax.dynamic_index_in_dim(xu_plan, idx, axis=0, keepdims=False)[2 * nq :]
-        qdd = dynamics.forward_dynamics(model, x[:nq], x[nq:], u)
+        qdd = dynamics.forward_dynamics_aba(model, x[:nq], x[nq:], u)
         xn = jnp.concatenate([x[:nq] + dt * x[nq:], x[nq:] + dt * qdd])
         return xn, None
 
@@ -94,6 +94,15 @@ def _simulate_plant(model: RobotModel, xs, xu_plan, time_offset_s, sim_time_s,
 @jax.jit
 def _ee_xyz(model: RobotModel, q):
     return dynamics.fk_ee_xyz(model, q)
+
+
+def _plant_fn():
+    """Fused plant kernel on TPU, XLA scan elsewhere (bit-identical)."""
+    if jax.default_backend() == "tpu":
+        from mpcgpu_tpu.sim.plant_pallas import simulate_plant_pallas
+
+        return simulate_plant_pallas
+    return _simulate_plant
 
 
 @jax.jit
@@ -188,6 +197,7 @@ def simulate_mpc(
     # plant substep counts are static (const-update-freq mode)
     sim_time_s = sim_cfg.simulation_period_us * 1e-6
     n_sub = int(sim_time_s / sim_cfg.sim_step_time)
+    plant = _plant_fn()
 
     # warm-up (REMOVE_JITTERS, mpcsim.cuh:222-242) + compile
     for _ in range(max(1, sim_cfg.remove_jitters)):
@@ -224,7 +234,7 @@ def simulate_mpc(
         sim_time_us = (
             sim_cfg.simulation_period_us if sim_cfg.const_update_freq else sqp_time_us
         )
-        xs = _simulate_plant(
+        xs = plant(
             model, xs, xu_old,
             jnp.asarray(prev_sim_time * 1e-6, dtype),
             jnp.asarray(sim_time_us * 1e-6, dtype),
@@ -292,3 +302,148 @@ def _finalize_stats(stats: MPCStats) -> None:
         if stats.tracking_errors else []
     )
     stats.tracking_path = list(np.asarray(jnp.stack(stats.tracking_path)))
+
+
+# ---------------------------------------------------------------------------
+# fully on-device closed-loop simulation
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cost", "sqp_cfg", "pcg_cfg", "linsys",
+                                   "timestep", "period_s", "n_sub", "sim_step"))
+def _ondevice_run(model, cost, sqp_cfg, pcg_cfg, linsys, timestep, period_s,
+                  n_sub, sim_step,
+                  xu0, lam0, xs0, ee0, rho0, shift_flags, tails, goal_tails,
+                  offsets):
+    """Module-level jit (a closure-local jit would retrace per call)."""
+    nq = lam0.shape[-1] // 2
+    nx = lam0.shape[-1]
+    dtype = xu0.dtype
+    plant = _plant_fn()
+
+    def step(carry, inp):
+        xu, xu_old, lam, xs, ee_goal, rho = carry
+        do_shift, tail, goal_tail, t_off = inp
+
+        res = sqp_solve(model, cost, sqp_cfg, pcg_cfg, xu, lam, xs,
+                        ee_goal, rho, timestep, linsys=linsys)
+        xu_n, lam_n, rho_n = res.xu, res.lam, res.rho
+
+        xs_n = plant(model, xs, xu_old, t_off,
+                     jnp.asarray(period_s, dtype),
+                     jnp.asarray(timestep, dtype),
+                     n_sub, sim_step)
+        err = jnp.abs(_ee_xyz(model, xs_n[:nq]) - ee_goal[0, :3]).sum()
+
+        def with_shift(args):
+            xu_, lam_, ee_ = args
+            return _shift_all(xu_, lam_, ee_, tail, goal_tail)
+
+        xu_solved = xu_n              # plan used by NEXT step's plant window
+        xu_n, lam_n, ee_n = jax.lax.cond(
+            do_shift, with_shift, lambda a: a, (xu_n, lam_n, ee_goal))
+        xu_n = xu_n.at[0, :nx].set(xs_n)
+        out = dict(err=err, shifted=do_shift, xs=xs_n,
+                   sqp_iters=res.sqp_iters, pcg_iters=res.pcg_iters)
+        return (xu_n, xu_solved, lam_n, xs_n, ee_n, rho_n), out
+
+    carry0 = (xu0, xu0, lam0, xs0, ee0, rho0)
+    (xu, _, lam, xs, ee_goal, rho), outs = jax.lax.scan(
+        step, carry0, (shift_flags, tails, goal_tails, offsets))
+    final_err = jnp.abs(_ee_xyz(model, xs[:nq]) - ee_goal[0, :3]).sum()
+    return outs, final_err
+
+
+def simulate_mpc_ondevice(
+    model: RobotModel,
+    xu_traj: np.ndarray,
+    eepos_traj: np.ndarray,
+    knot_points: int,
+    timestep: float,
+    cost: Optional[CostConfig] = None,
+    sqp_cfg: SQPConfig = SQPConfig(max_iter=2),
+    pcg_cfg: Optional[PCGConfig] = None,
+    sim_cfg: SimConfig = SimConfig(),
+    linsys: str = "auto",
+    dtype=jnp.float32,
+):
+    """The ENTIRE closed-loop tracking run as one jitted ``lax.scan``.
+
+    The reference's control loop lives on the host (mpcsim.cuh:249-397, one
+    solver launch + plant kernel per control step); here every control step —
+    SQP solve, plant rollout, warm-start shift, tracking metrics — happens on
+    device, so a full tracking experiment is a single program execution (no
+    per-step dispatch; on tunneled TPU setups the host loop pays ~26 ms of
+    round-trip per control step, ~100x the solve itself).
+
+    Const-update-frequency mode only (CONST_UPDATE_FREQ, settings.cuh:56): the
+    shift schedule is then a deterministic function of (period, timestep) and
+    is precomputed host-side as per-step flags/backfill indices.
+
+    Returns a dict of device arrays:
+      tracking_errors (n_shifts,), xs_path (steps, nx), sqp_iters (steps,),
+      pcg_iters (steps, max_iter), final_tracking_error ().
+    """
+    N = knot_points
+    nq = model.nq
+    nx, nu = 2 * nq, nq
+    traj_steps = xu_traj.shape[0]
+    cost = cost or CostConfig.for_knots(N)
+    pcg_cfg = pcg_cfg or PCGConfig(max_iter=PCGConfig.tuned_max_iter(N), exit_tol=1e-5)
+    if linsys == "auto":
+        linsys = "pcg_pallas" if jax.default_backend() == "tpu" else "pcg"
+    if not sim_cfg.const_update_freq:
+        raise ValueError("on-device sim supports const_update_freq mode only")
+
+    period_s = sim_cfg.simulation_period_us * 1e-6
+    shift_threshold = sim_cfg.shift_threshold_frac * timestep
+    n_sub = int(period_s / sim_cfg.sim_step_time)
+
+    # ---- host-side schedule precomputation (deterministic, static) ----
+    shift_flags, tail_idx, offsets = [], [], []
+    time_since, shifted, traj_offset, prev_off = 0.0, False, 0, 0.0
+    while traj_offset < traj_steps and len(shift_flags) < sim_cfg.max_control_updates:
+        offsets.append(prev_off)
+        time_since += period_s
+        do_shift = (not shifted) and time_since > shift_threshold
+        shift_flags.append(do_shift)
+        if do_shift:
+            traj_offset += 1
+            shifted = True
+        tail_idx.append(min(traj_offset + N - 1, traj_steps - 1))
+        if time_since > timestep:
+            shifted = False
+            time_since = math.fmod(time_since, timestep)
+        prev_off = period_s
+    steps = len(shift_flags)
+    # backfill rows: trajectory row when in range, else goal-with-zero-tail
+    xu_traj_j = jnp.asarray(xu_traj, dtype)
+    ee_traj_j = jnp.asarray(eepos_traj, dtype)
+    qgoal = xu_traj_j[traj_steps - 1, :nq]
+    rest_row = jnp.concatenate([qgoal, jnp.zeros((nx - nq + nu,), dtype)])
+    in_range = np.array(tail_idx) < traj_steps - 1  # window still fits
+    tails = jnp.where(jnp.asarray(in_range)[:, None],
+                      xu_traj_j[jnp.asarray(tail_idx)], rest_row[None, :])
+    goal_tails = ee_traj_j[jnp.asarray(tail_idx)]
+    shift_flags_j = jnp.asarray(np.array(shift_flags))
+    offsets_j = jnp.asarray(np.array(offsets), dtype)
+
+    plant = _plant_fn()
+    xu0 = xu_traj_j[:N]
+    ee0 = ee_traj_j[:N]
+    lam0 = jnp.zeros((N, nx), dtype)
+    xs0 = xu0[0, :nx]
+    rho0 = jnp.asarray(1e-3, dtype)
+
+    outs, final_err = _ondevice_run(
+        model, cost, sqp_cfg, pcg_cfg, linsys, timestep, period_s, n_sub,
+        sim_cfg.sim_step_time,
+        xu0, lam0, xs0, ee0, rho0, shift_flags_j, tails, goal_tails, offsets_j)
+    return dict(
+        tracking_errors=outs["err"][outs["shifted"]],
+        xs_path=outs["xs"],
+        sqp_iters=outs["sqp_iters"],
+        pcg_iters=outs["pcg_iters"],
+        final_tracking_error=final_err,
+        control_updates=steps,
+    )

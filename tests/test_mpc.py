@@ -53,3 +53,33 @@ def test_closed_loop_ldl_matches_pcg_roughly():
     s_ldl = simulate_mpc(model, xu_traj, ee_traj, linsys="ldl", **kw).summary()
     # solver cross-validation by construction (mpcsim.cuh:21-25)
     assert abs(s_pcg["avg_tracking_error"] - s_ldl["avg_tracking_error"]) < 0.05
+
+
+def test_ondevice_sim_matches_host_loop():
+    """simulate_mpc_ondevice (one jitted scan) == the host control loop."""
+    import jax.numpy as jnp
+    from mpcgpu_tpu.config import SimConfig, SQPConfig
+    from mpcgpu_tpu.sim.mpc import simulate_mpc, simulate_mpc_ondevice
+    from mpcgpu_tpu.models import iiwa14
+    from mpcgpu_tpu.utils.trajfiles import load_eepos_traj, load_xu_traj
+
+    model = iiwa14()
+    xu_traj = load_xu_traj("0_0")[:80]
+    ee_traj = load_eepos_traj("0_0")[:80]
+    sim = SimConfig(max_control_updates=40)
+    scfg = SQPConfig(max_iter=2, max_time_us=None)
+    host = simulate_mpc(model, xu_traj, ee_traj, 16, 1 / 64.0,
+                        sqp_cfg=scfg, sim_cfg=sim)
+    dev = simulate_mpc_ondevice(model, xu_traj, ee_traj, 16, 1 / 64.0,
+                                sqp_cfg=scfg, sim_cfg=sim)
+    h = np.asarray(host.tracking_errors)
+    d = np.asarray(dev["tracking_errors"])
+    assert len(h) == len(d)
+    # the two paths are separately compiled programs of the same math; f32
+    # rounding differences amplify chaotically through the closed loop, so
+    # the comparison is behavioral, not bitwise
+    np.testing.assert_allclose(d, h, rtol=0.1, atol=5e-3)
+    np.testing.assert_allclose(
+        float(dev["final_tracking_error"]), host.final_tracking_error,
+        rtol=0.1, atol=5e-3,
+    )
