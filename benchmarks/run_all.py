@@ -10,6 +10,7 @@ Configs (BASELINE.json "configs"):
      multi-chip mesh when available, else measured single-device
   6. parallel-cyclic-reduction exact direct solve, N=64 (extra config)
   7. fully on-device closed-loop MPC (one jitted scan; extra config)
+  8. scenario-parallel on-device closed loop (vmap of config 7; extra config)
 
 Methodology: every metric is measured as K chained invocations INSIDE one
 jitted ``lax.fori_loop`` (a data token threads each result into the next
@@ -229,11 +230,14 @@ def cfg7_ondevice_sim():
     dev = simulate_mpc_ondevice(model, xu_traj[:300], ee_traj[:300], 32, DT,
                                 sqp_cfg=scfg)
     jax.block_until_ready(dev["final_tracking_error"])
-    t0 = _t.perf_counter()
-    dev = simulate_mpc_ondevice(model, xu_traj[:300], ee_traj[:300], 32, DT,
-                                sqp_cfg=scfg)
-    jax.block_until_ready(dev["final_tracking_error"])
-    wall = _t.perf_counter() - t0
+    walls = []
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        dev = simulate_mpc_ondevice(model, xu_traj[:300], ee_traj[:300], 32, DT,
+                                    sqp_cfg=scfg)
+        jax.block_until_ready(dev["final_tracking_error"])
+        walls.append(_t.perf_counter() - t0)
+    wall = float(np.median(walls))
     steps = int(dev["control_updates"])
     emit(metric="ondevice_closed_loop_n32", value=round(wall * 1e6 / steps, 1),
          unit="us_per_control_step", control_updates=steps,
@@ -241,10 +245,41 @@ def cfg7_ondevice_sim():
          run_wall_s=round(wall, 3))
 
 
+def cfg8_scenario_parallel(B=32):
+    import time as _t
+
+    from mpcgpu_tpu.config import SimConfig
+    from mpcgpu_tpu.sim.mpc import simulate_mpc_ondevice_batched
+
+    model = iiwa14()
+    xu_traj = np.asarray(load_xu_traj("0_0"))[:300]
+    ee_traj = np.asarray(load_eepos_traj("0_0"))[:300]
+    scfg = SQPConfig(max_iter=2, max_time_us=None)
+    sim = SimConfig(max_control_updates=400)
+    dev = simulate_mpc_ondevice_batched(model, xu_traj, ee_traj, 32, DT,
+                                        batch=B, sqp_cfg=scfg, sim_cfg=sim)
+    jax.block_until_ready(dev["final_tracking_error"])
+    walls = []
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        dev = simulate_mpc_ondevice_batched(model, xu_traj, ee_traj, 32, DT,
+                                            batch=B, sqp_cfg=scfg, sim_cfg=sim)
+        jax.block_until_ready(dev["final_tracking_error"])
+        walls.append(_t.perf_counter() - t0)
+    wall = float(np.median(walls))
+    steps = int(dev["control_updates"])
+    errs = np.asarray(dev["final_tracking_error"])
+    emit(metric=f"scenario_parallel_closed_loop_n32_b{B}",
+         value=round(wall * 1e6 / (steps * B), 1), unit="us_per_instance_step",
+         control_updates=steps, batch=B,
+         instance_steps_per_s=round(steps * B / wall),
+         mean_final_tracking_error=round(float(errs.mean()), 5))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--configs", nargs="*", type=int, default=[1, 2, 3, 4, 5, 6, 7])
+    ap.add_argument("--configs", nargs="*", type=int, default=[1, 2, 3, 4, 5, 6, 7, 8])
     args = ap.parse_args()
     emit(backend=jax.default_backend(), devices=len(jax.devices()))
     if 1 in args.configs:
@@ -261,6 +296,8 @@ def main():
         cfg6_pcr_n64()
     if 7 in args.configs:
         cfg7_ondevice_sim()
+    if 8 in args.configs:
+        cfg8_scenario_parallel()
 
 
 if __name__ == "__main__":

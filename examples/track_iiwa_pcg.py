@@ -37,13 +37,46 @@ def main():
     ap.add_argument("--save", action="store_true")
     ap.add_argument("--outdir", default="results")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--ondevice", action="store_true",
+                    help="run the whole closed loop as ONE jitted scan "
+                         "(no per-control-step host dispatch)")
     args = ap.parse_args()
 
     model = iiwa14(dtype=jnp.float32)
     xu_traj = load_xu_traj(args.traj)
     ee_traj = load_eepos_traj(args.traj)
     if args.steps:
+        if args.steps <= args.knots:
+            ap.error(f"--steps ({args.steps}) must exceed --knots ({args.knots})")
         xu_traj, ee_traj = xu_traj[: args.steps], ee_traj[: args.steps]
+
+    if args.ondevice:
+        import time
+
+        import jax
+        import numpy as np
+
+        from mpcgpu_tpu.sim.mpc import simulate_mpc_ondevice
+
+        tols = args.tols or [1e-5]
+        for tol in tols:
+            scfg = SQPConfig(max_iter=2, max_time_us=None)
+            pcfg = PCGConfig(max_iter=PCGConfig.tuned_max_iter(args.knots),
+                             exit_tol=tol)
+            dev = simulate_mpc_ondevice(model, xu_traj, ee_traj, args.knots,
+                                        1.0 / 64.0, sqp_cfg=scfg, pcg_cfg=pcfg)
+            jax.block_until_ready(dev["final_tracking_error"])
+            t0 = time.perf_counter()
+            dev = simulate_mpc_ondevice(model, xu_traj, ee_traj, args.knots,
+                                        1.0 / 64.0, sqp_cfg=scfg, pcg_cfg=pcfg)
+            jax.block_until_ready(dev["final_tracking_error"])
+            wall = time.perf_counter() - t0
+            steps = int(dev["control_updates"])
+            print(f"tol={tol}: {steps} control steps in {wall:.3f}s "
+                  f"({1e6 * wall / steps:.0f} us/step), "
+                  f"avg_tracking_error={float(np.asarray(dev['tracking_errors']).mean()):.5f}, "
+                  f"final={float(dev['final_tracking_error']):.5f}")
+        return
 
     tols = args.tols or TOL_SWEEP.get(args.knots, DEFAULT_TOLS)
     print(f"knots={args.knots} steps={len(xu_traj)} solver=PCG "

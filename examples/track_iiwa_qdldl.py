@@ -33,6 +33,8 @@ def main():
     xu_traj = load_xu_traj(args.traj)
     ee_traj = load_eepos_traj(args.traj)
     if args.steps:
+        if args.steps <= args.knots:
+            ap.error(f"--steps ({args.steps}) must exceed --knots ({args.knots})")
         xu_traj, ee_traj = xu_traj[: args.steps], ee_traj[: args.steps]
 
     print(f"knots={args.knots} steps={len(xu_traj)} solver=LDL^T (qdldl-equivalent)")

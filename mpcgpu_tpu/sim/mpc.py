@@ -309,13 +309,11 @@ def _finalize_stats(stats: MPCStats) -> None:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("cost", "sqp_cfg", "pcg_cfg", "linsys",
-                                   "timestep", "period_s", "n_sub", "sim_step"))
-def _ondevice_run(model, cost, sqp_cfg, pcg_cfg, linsys, timestep, period_s,
-                  n_sub, sim_step,
-                  xu0, lam0, xs0, ee0, rho0, shift_flags, tails, goal_tails,
-                  offsets):
-    """Module-level jit (a closure-local jit would retrace per call)."""
+def _ondevice_scan(model, cost, sqp_cfg, pcg_cfg, linsys, timestep, period_s,
+                   n_sub, sim_step,
+                   xu0, lam0, xs0, ee0, rho0, shift_flags, tails, goal_tails,
+                   offsets, fused=None):
+    """Traced core of the on-device closed loop (shared single/batched)."""
     nq = lam0.shape[-1] // 2
     nx = lam0.shape[-1]
     dtype = xu0.dtype
@@ -326,7 +324,7 @@ def _ondevice_run(model, cost, sqp_cfg, pcg_cfg, linsys, timestep, period_s,
         do_shift, tail, goal_tail, t_off = inp
 
         res = sqp_solve(model, cost, sqp_cfg, pcg_cfg, xu, lam, xs,
-                        ee_goal, rho, timestep, linsys=linsys)
+                        ee_goal, rho, timestep, linsys=linsys, fused=fused)
         xu_n, lam_n, rho_n = res.xu, res.lam, res.rho
 
         xs_n = plant(model, xs, xu_old, t_off,
@@ -352,6 +350,53 @@ def _ondevice_run(model, cost, sqp_cfg, pcg_cfg, linsys, timestep, period_s,
         step, carry0, (shift_flags, tails, goal_tails, offsets))
     final_err = jnp.abs(_ee_xyz(model, xs[:nq]) - ee_goal[0, :3]).sum()
     return outs, final_err
+
+
+@partial(jax.jit, static_argnames=("cost", "sqp_cfg", "pcg_cfg", "linsys",
+                                   "timestep", "period_s", "n_sub", "sim_step"))
+def _ondevice_run(model, cost, sqp_cfg, pcg_cfg, linsys, timestep, period_s,
+                  n_sub, sim_step,
+                  xu0, lam0, xs0, ee0, rho0, shift_flags, tails, goal_tails,
+                  offsets):
+    """Module-level jit (a closure-local jit would retrace per call)."""
+    return _ondevice_scan(model, cost, sqp_cfg, pcg_cfg, linsys, timestep,
+                          period_s, n_sub, sim_step,
+                          xu0, lam0, xs0, ee0, rho0,
+                          shift_flags, tails, goal_tails, offsets)
+
+
+def _ondevice_schedule(xu_traj, eepos_traj, N, nx, nu, timestep, period_s,
+                       shift_threshold, max_updates, dtype):
+    """Host-side precomputation of the deterministic const-frequency shift
+    schedule and backfill rows (shared by single/batched on-device sims)."""
+    traj_steps = xu_traj.shape[0]
+    shift_flags, tail_idx, offsets = [], [], []
+    time_since, shifted, traj_offset, prev_off = 0.0, False, 0, 0.0
+    while traj_offset < traj_steps and len(shift_flags) < max_updates:
+        offsets.append(prev_off)
+        time_since += period_s
+        do_shift = (not shifted) and time_since > shift_threshold
+        shift_flags.append(do_shift)
+        if do_shift:
+            traj_offset += 1
+            shifted = True
+        tail_idx.append(min(traj_offset + N - 1, traj_steps - 1))
+        if time_since > timestep:
+            shifted = False
+            time_since = math.fmod(time_since, timestep)
+        prev_off = period_s
+    steps = len(shift_flags)
+    nq = nx // 2
+    xu_traj_j = jnp.asarray(xu_traj, dtype)
+    ee_traj_j = jnp.asarray(eepos_traj, dtype)
+    qgoal = xu_traj_j[traj_steps - 1, :nq]
+    rest_row = jnp.concatenate([qgoal, jnp.zeros((nx - nq + nu,), dtype)])
+    in_range = np.array(tail_idx) < traj_steps - 1
+    tails = jnp.where(jnp.asarray(in_range)[:, None],
+                      xu_traj_j[jnp.asarray(tail_idx)], rest_row[None, :])
+    goal_tails = ee_traj_j[jnp.asarray(tail_idx)]
+    return (jnp.asarray(np.array(shift_flags)), tails, goal_tails,
+            jnp.asarray(np.array(offsets), dtype), steps, xu_traj_j, ee_traj_j)
 
 
 def simulate_mpc_ondevice(
@@ -399,36 +444,11 @@ def simulate_mpc_ondevice(
     shift_threshold = sim_cfg.shift_threshold_frac * timestep
     n_sub = int(period_s / sim_cfg.sim_step_time)
 
-    # ---- host-side schedule precomputation (deterministic, static) ----
-    shift_flags, tail_idx, offsets = [], [], []
-    time_since, shifted, traj_offset, prev_off = 0.0, False, 0, 0.0
-    while traj_offset < traj_steps and len(shift_flags) < sim_cfg.max_control_updates:
-        offsets.append(prev_off)
-        time_since += period_s
-        do_shift = (not shifted) and time_since > shift_threshold
-        shift_flags.append(do_shift)
-        if do_shift:
-            traj_offset += 1
-            shifted = True
-        tail_idx.append(min(traj_offset + N - 1, traj_steps - 1))
-        if time_since > timestep:
-            shifted = False
-            time_since = math.fmod(time_since, timestep)
-        prev_off = period_s
-    steps = len(shift_flags)
-    # backfill rows: trajectory row when in range, else goal-with-zero-tail
-    xu_traj_j = jnp.asarray(xu_traj, dtype)
-    ee_traj_j = jnp.asarray(eepos_traj, dtype)
-    qgoal = xu_traj_j[traj_steps - 1, :nq]
-    rest_row = jnp.concatenate([qgoal, jnp.zeros((nx - nq + nu,), dtype)])
-    in_range = np.array(tail_idx) < traj_steps - 1  # window still fits
-    tails = jnp.where(jnp.asarray(in_range)[:, None],
-                      xu_traj_j[jnp.asarray(tail_idx)], rest_row[None, :])
-    goal_tails = ee_traj_j[jnp.asarray(tail_idx)]
-    shift_flags_j = jnp.asarray(np.array(shift_flags))
-    offsets_j = jnp.asarray(np.array(offsets), dtype)
+    (shift_flags_j, tails, goal_tails, offsets_j, steps,
+     xu_traj_j, ee_traj_j) = _ondevice_schedule(
+        xu_traj, eepos_traj, N, nx, nu, timestep, period_s, shift_threshold,
+        sim_cfg.max_control_updates, dtype)
 
-    plant = _plant_fn()
     xu0 = xu_traj_j[:N]
     ee0 = ee_traj_j[:N]
     lam0 = jnp.zeros((N, nx), dtype)
@@ -447,3 +467,86 @@ def simulate_mpc_ondevice(
         final_tracking_error=final_err,
         control_updates=steps,
     )
+
+
+def simulate_mpc_ondevice_batched(
+    model: RobotModel,
+    xu_traj: np.ndarray,
+    eepos_traj: np.ndarray,
+    knot_points: int,
+    timestep: float,
+    batch: int,
+    perturb_scale: float = 0.05,
+    seed: int = 0,
+    cost: Optional[CostConfig] = None,
+    sqp_cfg: SQPConfig = SQPConfig(max_iter=2),
+    pcg_cfg: Optional[PCGConfig] = None,
+    sim_cfg: SimConfig = SimConfig(),
+    linsys: str = "auto",
+    dtype=jnp.float32,
+):
+    """Scenario-parallel closed-loop MPC: `batch` perturbed-initial-state
+    tracking experiments as ONE jitted program (vmap over the on-device scan).
+
+    The per-instance solver runs with the unfused kernel pipeline (see
+    solver/sqp.py::sqp_solve's `fused` note); PCG/merit kernels batch through
+    the vmap grid. Returns per-instance tracking-error arrays.
+    """
+    N = knot_points
+    nq = model.nq
+    nx, nu = 2 * nq, nq
+    traj_steps = xu_traj.shape[0]
+    cost = cost or CostConfig.for_knots(N)
+    pcg_cfg = pcg_cfg or PCGConfig(max_iter=PCGConfig.tuned_max_iter(N), exit_tol=1e-5)
+    if linsys == "auto":
+        linsys = "pcg_pallas" if jax.default_backend() == "tpu" else "pcg"
+    if not sim_cfg.const_update_freq:
+        raise ValueError("on-device sim supports const_update_freq mode only")
+
+    period_s = sim_cfg.simulation_period_us * 1e-6
+    shift_threshold = sim_cfg.shift_threshold_frac * timestep
+    n_sub = int(period_s / sim_cfg.sim_step_time)
+
+    # identical schedule logic to simulate_mpc_ondevice (shared helper)
+    (shift_flags_j, tails, goal_tails, offsets_j, steps,
+     xu_traj_j, ee_traj_j) = _ondevice_schedule(
+        xu_traj, eepos_traj, N, nx, nu, timestep, period_s, shift_threshold,
+        sim_cfg.max_control_updates, dtype)
+
+    xu0 = xu_traj_j[:N]
+    ee0 = ee_traj_j[:N]
+    key = jax.random.PRNGKey(seed)
+    dx0 = perturb_scale * jax.random.normal(key, (batch, nx), dtype)
+    xs0_b = xu0[0, :nx][None, :] + dx0
+    xu0_b = jnp.broadcast_to(xu0, (batch,) + xu0.shape)
+    xu0_b = xu0_b.at[:, 0, :nx].set(xs0_b)
+    lam0_b = jnp.zeros((batch, N, nx), dtype)
+    ee0_b = jnp.broadcast_to(ee0, (batch,) + ee0.shape)
+    rho0_b = jnp.full((batch,), 1e-3, dtype)
+
+    outs, final_err = _ondevice_run_batched(
+        model, cost, sqp_cfg, pcg_cfg, linsys, timestep, period_s, n_sub,
+        sim_cfg.sim_step_time,
+        xu0_b, lam0_b, xs0_b, ee0_b, rho0_b,
+        shift_flags_j, tails, goal_tails, offsets_j)
+    return dict(
+        tracking_errors=outs["err"],            # (batch, steps)
+        shift_mask=outs["shifted"],             # (steps,) shared schedule
+        final_tracking_error=final_err,         # (batch,)
+        control_updates=steps,
+    )
+
+
+@partial(jax.jit, static_argnames=("cost", "sqp_cfg", "pcg_cfg", "linsys",
+                                   "timestep", "period_s", "n_sub", "sim_step"))
+def _ondevice_run_batched(model, cost, sqp_cfg, pcg_cfg, linsys, timestep,
+                          period_s, n_sub, sim_step,
+                          xu0_b, lam0_b, xs0_b, ee0_b, rho0_b,
+                          shift_flags, tails, goal_tails, offsets):
+    run1 = lambda xu0, lam0, xs0, ee0, rho0: _ondevice_scan(
+        model, cost, sqp_cfg, pcg_cfg, linsys, timestep, period_s, n_sub,
+        sim_step, xu0, lam0, xs0, ee0, rho0,
+        shift_flags, tails, goal_tails, offsets, fused=False)
+    outs, final_err = jax.vmap(run1)(xu0_b, lam0_b, xs0_b, ee0_b, rho0_b)
+    outs["shifted"] = outs["shifted"][0]
+    return outs, final_err

@@ -83,3 +83,35 @@ def test_ondevice_sim_matches_host_loop():
         float(dev["final_tracking_error"]), host.final_tracking_error,
         rtol=0.1, atol=5e-3,
     )
+
+
+def test_batched_ondevice_sim():
+    """Batched scenario sim: B=1/perturb=0 equals the single-instance path;
+    perturbed instances stay finite and differ."""
+    from mpcgpu_tpu.config import SimConfig, SQPConfig
+    from mpcgpu_tpu.sim.mpc import (simulate_mpc_ondevice,
+                                    simulate_mpc_ondevice_batched)
+    from mpcgpu_tpu.models import iiwa14
+    from mpcgpu_tpu.utils.trajfiles import load_eepos_traj, load_xu_traj
+
+    model = iiwa14()
+    xu_traj = load_xu_traj("0_0")[:80]
+    ee_traj = load_eepos_traj("0_0")[:80]
+    sim = SimConfig(max_control_updates=30)
+    scfg = SQPConfig(max_iter=1, max_time_us=None)
+    one = simulate_mpc_ondevice(model, xu_traj, ee_traj, 16, 1 / 64.0,
+                                sqp_cfg=scfg, sim_cfg=sim)
+    bat = simulate_mpc_ondevice_batched(model, xu_traj, ee_traj, 16, 1 / 64.0,
+                                        batch=2, perturb_scale=0.0,
+                                        sqp_cfg=scfg, sim_cfg=sim)
+    e1 = np.asarray(one["tracking_errors"])
+    eb = np.asarray(bat["tracking_errors"])[:, np.asarray(bat["shift_mask"])]
+    np.testing.assert_allclose(eb[0], e1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(eb[1], eb[0])
+
+    bat2 = simulate_mpc_ondevice_batched(model, xu_traj, ee_traj, 16, 1 / 64.0,
+                                         batch=3, perturb_scale=0.05,
+                                         sqp_cfg=scfg, sim_cfg=sim)
+    errs = np.asarray(bat2["final_tracking_error"])
+    assert np.isfinite(np.asarray(bat2["tracking_errors"])).all()
+    assert len(np.unique(np.round(errs, 6))) > 1
