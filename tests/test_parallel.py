@@ -101,3 +101,25 @@ def test_gspmd_sharded_batched_solve_runs():
     assert np.isfinite(out).all()
     # replicated instances must agree
     np.testing.assert_allclose(out[0], out[1], atol=1e-6)
+
+
+def test_sharded_full_sqp_matches_single_device():
+    """Knot-sharded FULL SQP iteration (KKT+Schur+PCG+dz+LS, all SPMD with
+    halo exchanges) matches the single-device solver."""
+    from mpcgpu_tpu.parallel.sqp_sharded import sqp_solve_sharded
+
+    model, cost, xu, xs, ee = _problem()
+    lam = jnp.zeros((N, NX), jnp.float32)
+    scfg = SQPConfig(max_iter=3)
+    pcfg = PCGConfig(max_iter=80, exit_tol=1e-7)
+    ref = sqp_solve(model, cost, scfg, pcfg, xu, lam, xs, ee, 1e-3, DT,
+                    linsys="pcg")
+    mesh = make_mesh(1, 8)
+    got = sqp_solve_sharded(model, cost, scfg, pcfg, xu, lam, xs, ee, 1e-3,
+                            DT, mesh)
+    np.testing.assert_allclose(np.asarray(got.xu), np.asarray(ref.xu),
+                               atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(got.pcg_iters),
+                                  np.asarray(ref.pcg_iters))
+    np.testing.assert_array_equal(np.asarray(got.ls_alpha_idx),
+                                  np.asarray(ref.ls_alpha_idx))
