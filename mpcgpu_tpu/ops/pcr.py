@@ -48,19 +48,13 @@ def pcr_solve_refined(S, b, refine: int = 1):
     refinement pass (recompute the residual, re-solve, correct) recovers a
     solution whose true residual beats even a fully-converged stair-PCG run
     in f32 (see tests/test_pcr.py)."""
+    from mpcgpu_tpu.ops.btd import btd_matvec
+
     x = pcr_solve(S, b)
     for _ in range(refine):
-        r = b - btd_matvec_ref(S, x)
+        r = b - btd_matvec(S, x)
         x = x + pcr_solve(S, r)
     return x
-
-
-def btd_matvec_ref(S, x):
-    """(N,3,n,n) BTD matvec (shared helper; mirrors ops/btd.py layout)."""
-    y = jnp.einsum("kij,kj->ki", S[:, 1], x)
-    y = y.at[1:].add(jnp.einsum("kij,kj->ki", S[1:, 0], x[:-1]))
-    y = y.at[:-1].add(jnp.einsum("kij,kj->ki", S[:-1, 2], x[1:]))
-    return y
 
 
 @highest_precision

@@ -67,6 +67,10 @@ def sqp_solve_sharded(
     n_shard = mesh.shape[knot_axis]
     if N % n_shard:
         raise ValueError(f"N={N} not divisible by {n_shard} knot shards")
+    if pcg_cfg.preconditioner != "stair":
+        raise ValueError(
+            "sqp_solve_sharded implements the stair preconditioner only; got "
+            f"{pcg_cfg.preconditioner!r}")
     L = N // n_shard
     mu = jnp.asarray(sqp_cfg.mu, dtype)
     dt = jnp.asarray(dt, dtype)
@@ -88,9 +92,19 @@ def sqp_solve_sharded(
                 lambda xx, uu: euler_step_and_jacobians(model, xx, uu, dt,
                                                         integrator_type)
             )(x, u)
+            # terminal-eval quirk (solver/kkt.py:164-167): with
+            # terminal_at_last_state=False the global LAST knot's cost blocks
+            # are evaluated at x_{N-2} — the previous local row, or the left
+            # neighbor's last row when the slab length is 1
+            x_eval = x
+            if not cost.terminal_at_last_state:
+                prev_row = (x[-2] if L >= 2 else _send_right(x[-1], ax))
+                x_eval = jnp.where(
+                    is_gl[:, None],
+                    jnp.broadcast_to(prev_row[None, :], x.shape), x)
             Q, q, R, r = jax.vmap(
                 lambda xx, uu, gg: tracking_cost_grad_hess(model, cost, xx, uu, gg)
-            )(x, u, ee_loc)
+            )(x_eval, u, ee_loc)
             # defect c_k = x_k - xnext_{k-1}; global row 0: x_0 - xs
             xnext_left = _send_right(xnext[-1], ax)
             xnext_prev = jnp.concatenate([xnext_left[None], xnext[:-1]], axis=0)

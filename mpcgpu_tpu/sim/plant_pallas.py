@@ -21,7 +21,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mpcgpu_tpu.models.robot import RobotModel
 from mpcgpu_tpu.precision import highest_precision
-from mpcgpu_tpu.solver.merit_pallas import _crf_apply, _matvec, _rowsum
+from mpcgpu_tpu.solver.merit_pallas import (_crf_apply, _matmat,
+                                             _matmat_TA, _matvec, _matvec_T,
+                                             _rowsum)
 
 
 def _make_plant_kernel(nq: int, N: int, n_steps: int, gravity: float):
@@ -78,9 +80,8 @@ def _make_plant_kernel(nq: int, N: int, n_steps: int, gravity: float):
                     Ud = Uj * dj
                     Ia = IA[j] - Uj[:, None, :] * Ud[None, :, :]
                     pa = pA[j] + _matvec(Ia, cs_[j]) + Ud * uj
-                    IaX = _mm(Ia, X[j])
-                    IA[j - 1] = IA[j - 1] + _mm_T(X[j], IaX)
-                    pA[j - 1] = pA[j - 1] + _mv_T(X[j], pa)
+                    IA[j - 1] = IA[j - 1] + _matmat_TA(X[j], _matmat(Ia, X[j]))
+                    pA[j - 1] = pA[j - 1] + _matvec_T(X[j], pa)
             if gravity != 0.0:
                 a_par = (row6 == 5).astype(dtype) * gravity
             else:
@@ -109,35 +110,6 @@ def _make_plant_kernel(nq: int, N: int, n_steps: int, gravity: float):
 
     return kernel
 
-
-def _mm(Ma, Mb):
-    """(6,6,1) @ (6,6,1)."""
-    cols = []
-    for l in range(6):
-        acc = Ma[:, 0, :] * Mb[0:1, l, :]
-        for j in range(1, 6):
-            acc = acc + Ma[:, j, :] * Mb[j : j + 1, l, :]
-        cols.append(acc)
-    return jnp.stack(cols, axis=1)
-
-
-def _mm_T(Ma, Mb):
-    """Ma^T @ Mb for (6,6,1)."""
-    cols = []
-    for l in range(6):
-        acc = Ma[0, :, :] * Mb[0:1, l, :]
-        for j in range(1, 6):
-            acc = acc + Ma[j, :, :] * Mb[j : j + 1, l, :]
-        cols.append(acc)
-    return jnp.stack(cols, axis=1)
-
-
-def _mv_T(M, v):
-    """M^T @ v for M (6,6,1), v (6,1)."""
-    acc = M[0, :, :] * v[0:1, :]
-    for j in range(1, 6):
-        acc = acc + M[j, :, :] * v[j : j + 1, :]
-    return acc
 
 
 @highest_precision

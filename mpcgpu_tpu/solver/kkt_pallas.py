@@ -58,14 +58,6 @@ def _mm6_T(M, V):
     return out
 
 
-def _mm6_const(M, V):
-    """(6,6,1) const @ (6,T,B)."""
-    acc = M[:, 0:1, :] * V[0:1, :, :]
-    for j in range(1, 6):
-        acc = acc + M[:, j : j + 1, :] * V[j : j + 1, :, :]
-    return acc
-
-
 def _cross_multi(a, b):
     """a x b on (3,T,B) tiles (componentwise cross along axis 0)."""
     ar1 = pltpu.roll(a, 2, axis=0)
@@ -142,190 +134,196 @@ def _kkt_core(xu_ref, xeval_ref, goal_ref, dt,
     """Traced core shared by the KKT and KKT+Schur kernels; returns the
     lane-packed blocks (Amat, Bmat, Qmat, grad, xnext, Minv, qdd, dqdd)."""
     nx = 2 * nq
-    if True:
-        xu = xu_ref[:]                               # (nx+nu, N)
-        q = xu[0:nq]
-        qd = xu[nq:nx]
-        u = xu[nx : nx + nq]
-        s = jnp.sin(q)
-        c = jnp.cos(q)
+    xu = xu_ref[:]                               # (nx+nu, N)
+    q = xu[0:nq]
+    qd = xu[nq:nx]
+    u = xu[nx : nx + nq]
+    s = jnp.sin(q)
+    c = jnp.cos(q)
 
-        X, Xp = [], []                                # X_j and dX_j/dq_j
-        for j in range(nq):
-            sj = s[j : j + 1, :][None]
-            cj = c[j : j + 1, :][None]
-            X.append(xc_ref[j][:, :, None] + sj * xsin_ref[j][:, :, None]
-                     + cj * xcos_ref[j][:, :, None])
-            Xp.append(cj * xsin_ref[j][:, :, None] - sj * xcos_ref[j][:, :, None])
+    X, Xp = [], []                                # X_j and dX_j/dq_j
+    for j in range(nq):
+        sj = s[j : j + 1, :][None]
+        cj = c[j : j + 1, :][None]
+        X.append(xc_ref[j][:, :, None] + sj * xsin_ref[j][:, :, None]
+                 + cj * xcos_ref[j][:, :, None])
+        Xp.append(cj * xsin_ref[j][:, :, None] - sj * xcos_ref[j][:, :, None])
 
-        row6t = jax.lax.broadcasted_iota(jnp.int32, (6, NT, N), 0)
-        colt = jax.lax.broadcasted_iota(jnp.int32, (6, NT, N), 1)
-        ez_val = ((row6t == 2) & (colt == 0)).astype(xu.dtype)   # e_z in value col
+    def rnea_pass(qdd_rows, nt):
+        """RNEA pass with `nt` columns: nt = 1 is the value-only bias pass,
+        nt = NT carries all 14 tangent directions.  qdd_rows = None (bias)
+        or a (nq, N) constant joint acceleration.  Returns (nq, nt, N)."""
+        row6t = jax.lax.broadcasted_iota(jnp.int32, (6, nt, N), 0)
+        colt = jax.lax.broadcasted_iota(jnp.int32, (6, nt, N), 1)
+        ez_val = ((row6t == 2) & (colt == 0)).astype(xu.dtype)  # e_z, value col
+        tangents = nt > 1
 
-        # ---------- value-only RNEA (bias c = ID(q, qd, 0)) + CRBA ----------
-        # bias via the same multi machinery with T = 1 would duplicate code;
-        # value pass is cheap enough to run with T = 1 columns:
-        def rnea_pass(qdd_rows):
-            """RNEA value+tangent pass; qdd_rows = None (bias) or (nq,N) const.
-            Returns tau multi (nq, NT, N) [+ f values when needed]."""
-            v_par = None
-            a_par = None
-            vs, fs = [], []
-            if gravity != 0.0:
-                g_base = ((row6t == 5) & (colt == 0)).astype(xu.dtype) * gravity
-                a_par = g_base
-            for k in range(nq):
-                qdk = qd[k : k + 1, :][None]              # (1,1,N)
-                if v_par is None:
-                    v = ez_val * qdk
-                    dv_extra = None
-                else:
-                    v = _mm6(X[k], v_par)
-                    # d/dq_k of X_k v_par: value-col only -> tangent col 1+k
-                    xv = _mm6(Xp[k], v_par[:, 0:1, :])    # (6,1,N)
-                    v = v + jnp.where(colt == 1 + k, jnp.broadcast_to(xv, colt.shape), 0.0)
-                    v = v + ez_val * qdk
+        def tcol(expr, col):
+            """Add `expr` (6,1,N) into tangent column `col` (no-op if nt=1)."""
+            return jnp.where(colt == col, jnp.broadcast_to(expr, colt.shape), 0.0)
+
+        v_par = None
+        a_par = None
+        fs = []
+        if gravity != 0.0:
+            a_par = ((row6t == 5) & (colt == 0)).astype(xu.dtype) * gravity
+        for k in range(nq):
+            qdk = qd[k : k + 1, :][None]              # (1,1,N)
+            if v_par is None:
+                v = ez_val * qdk
+            else:
+                v = _mm6(X[k], v_par) + ez_val * qdk
+                if tangents:
+                    # d/dq_k of X_k v_par: value col -> tangent col 1+k
+                    v = v + tcol(_mm6(Xp[k], v_par[:, 0:1, :]), 1 + k)
+            if tangents:
                 # qd_k tangent of vJ: e_z in column 1+nq+k
                 v = v + ((row6t == 2) & (colt == 1 + nq + k)).astype(xu.dtype)
-                if a_par is None:
-                    a = jnp.zeros_like(v)
-                else:
-                    a = _mm6(X[k], a_par)
-                    xa = _mm6(Xp[k], a_par[:, 0:1, :])
-                    a = a + jnp.where(colt == 1 + k, jnp.broadcast_to(xa, colt.shape), 0.0)
-                # bias acceleration: v x (e_z qd_k), bilinear
-                sh = _shuffle_ez(v)
-                a = a + sh * qdk
-                a = a + jnp.where(colt == 1 + nq + k, jnp.broadcast_to(sh[:, 0:1, :], colt.shape), 0.0)
-                if qdd_rows is not None:
-                    a = a + ez_val * qdd_rows[k : k + 1, :][None]
-                # spatial force f = I a + crf(v, I v)
-                Ik = I_ref[k][:, :, None]
-                Iv = _mm6_const(Ik, v)
-                f = _mm6_const(Ik, a)
-                g0 = Iv[:, 0:1, :]
-                v0 = v[:, 0:1, :]
+            if a_par is None:
+                a = jnp.zeros_like(v)
+            else:
+                a = _mm6(X[k], a_par)
+                if tangents:
+                    a = a + tcol(_mm6(Xp[k], a_par[:, 0:1, :]), 1 + k)
+            # bias acceleration: v x (e_z qd_k), bilinear
+            sh = _shuffle_ez(v)
+            a = a + sh * qdk
+            if tangents:
+                a = a + tcol(sh[:, 0:1, :], 1 + nq + k)
+            if qdd_rows is not None:
+                a = a + ez_val * qdd_rows[k : k + 1, :][None]
+            # spatial force f = I a + crf(v, I v)
+            Ik = I_ref[k][:, :, None]
+            Iv = _mm6(Ik, v)
+            f = _mm6(Ik, a)
+            g0 = Iv[:, 0:1, :]
+            v0 = v[:, 0:1, :]
+            if tangents:
                 vz = jnp.where(colt == 0, 0.0, v)
                 Ivz = jnp.where(colt == 0, 0.0, Iv)
                 f = f + _crf_fixed_f(vz, g0) + _crf_fixed_v(v0, Ivz)
-                f = f + jnp.where(colt == 0, jnp.broadcast_to(_crf_fixed_v(v0, g0), colt.shape), 0.0)
-                vs.append(v)
-                fs.append(f)
-                v_par, a_par = v, a
-            taus = [None] * nq
-            f_carry = fs[nq - 1]
-            for k in range(nq - 1, -1, -1):
-                taus[k] = f_carry[2]                      # (NT, N)
-                if k > 0:
-                    fc = _mm6_T(X[k], f_carry)
-                    xf = _mm6_T(Xp[k], f_carry[:, 0:1, :])
-                    f_carry = fs[k - 1] + fc + jnp.where(colt == 1 + k, jnp.broadcast_to(xf, colt.shape), 0.0)
-            return jnp.stack(taus, axis=0)                # (nq, NT, N)
-
-        # CRBA mass matrix (value only)
-        IC = [jnp.broadcast_to(I_ref[k][:, :, None], (6, 6, N)) for k in range(nq)]
-        for k in range(nq - 1, 0, -1):
-            IC[k - 1] = IC[k - 1] + _mm6_T(X[k], _mmn(IC[k], X[k], 6))
-        F = jnp.zeros((6, nq, N), xu.dtype)
-        rows = [None] * nq
-        coln = jax.lax.broadcasted_iota(jnp.int32, (6, nq, N), 1)
-        for j in range(nq - 1, -1, -1):
-            F = jnp.where(coln == j, jnp.broadcast_to(IC[j][:, 2, :][:, None, :], F.shape), F)
-            rows[j] = F[2]                                # (nq, N): M[j, k] for k >= j
-            if j > 0:
-                F = _mm6_T(X[j], F)
-        Mupper = jnp.stack(rows, axis=0)                  # (nq, nq, N) upper (row<=col)
-        rown = jax.lax.broadcasted_iota(jnp.int32, (nq, nq, N), 0)
-        colnn = jax.lax.broadcasted_iota(jnp.int32, (nq, nq, N), 1)
-        MuT = jnp.stack([Mupper[:, i, :] for i in range(nq)], axis=0)  # transpose01
-        M = jnp.where(rown <= colnn, Mupper, MuT)
-        Minv = _gj_inverse_lanes(M, nq)                   # (nq, nq, N)
-
-        # bias + qdd
-        tau_bias_multi = rnea_pass(None)
-        c_bias = tau_bias_multi[:, 0, :]                  # (nq, N)
-        umc = u - c_bias
-        qdd = Minv[:, 0, :] * umc[0:1, :]
-        for j in range(1, nq):
-            qdd = qdd + Minv[:, j, :] * umc[j : j + 1, :]  # (nq, N)
-
-        # tangent RNEA at fixed qdd -> dID/dq, dID/dqd
-        tau_multi = rnea_pass(qdd)
-        dID = jnp.stack([tau_multi[:, 1 + t, :] for t in range(2 * nq)], axis=1)
-        # dqdd/d{q,qd} = -Minv @ dID  -> (nq, 2nq, N)
-        dqdd = -(Minv[:, 0:1, :] * dID[0:1, :, :])
-        for j in range(1, nq):
-            dqdd = dqdd - Minv[:, j : j + 1, :] * dID[j : j + 1, :, :]
-        dq_blk = dqdd[:, 0:nq, :]                         # d qdd / d q
-        dqd_blk = dqdd[:, nq : 2 * nq, :]                 # d qdd / d qd
-
-        # ---------- integrator step + Jacobians (integrator.cuh:59-130) ----
-        rowx = jax.lax.broadcasted_iota(jnp.int32, (nx, nx, N), 0)
-        colx = jax.lax.broadcasted_iota(jnp.int32, (nx, nx, N), 1)
-        eyex = (rowx == colx).astype(xu.dtype)
-        if integrator_type == 0:
-            qn = q + dt * qd
-            qdn = qd + dt * qdd
-            rowt = jax.lax.broadcasted_iota(jnp.int32, (nq, nx, N), 0)
-            colt2 = jax.lax.broadcasted_iota(jnp.int32, (nq, nx, N), 1)
-            top = jnp.where(colt2 == rowt + nq, dt, 0.0)
-            bot = jnp.concatenate([dt * dq_blk, dt * dqd_blk], axis=1)
-            Amat = eyex + jnp.concatenate([top, bot], axis=0)
-            Bmat = jnp.concatenate(
-                [jnp.zeros((nq, nq, N), xu.dtype), dt * Minv], axis=0
-            )
-        else:
-            qdn = qd + dt * qdd
-            qn = q + dt * qdn
-            eyeq = (jax.lax.broadcasted_iota(jnp.int32, (nq, nq, N), 0)
-                    == jax.lax.broadcasted_iota(jnp.int32, (nq, nq, N), 1)
-                    ).astype(xu.dtype)
-            top = jnp.concatenate(
-                [dt * dt * dq_blk, dt * eyeq + dt * dt * dqd_blk], axis=1
-            )
-            bot = jnp.concatenate([dt * dq_blk, dt * dqd_blk], axis=1)
-            Amat = eyex + jnp.concatenate([top, bot], axis=0)
-            Bmat = jnp.concatenate([dt * dt * Minv, dt * Minv], axis=0)
-        xnext = jnp.concatenate([qn, qdn], axis=0)        # (nx, N)
-
-        # ---------- tracking cost grad/Hessian at xeval ----------
-        qe = xeval_ref[0:nq]
-        qde = xeval_ref[nq:nx]
-        se = jnp.sin(qe)
-        ce = jnp.cos(qe)
-        # product-rule chain: carry the value transform and the nq tangent
-        # transforms separately; tangent t only becomes nonzero at joint t
-        Tval = None
-        Ttans = [None] * nq                              # each (4,4,N) or None
-        for j in range(nq):
-            Hj = (hc_ref[j][:, :, None] + se[j : j + 1, :][None] * hsin_ref[j][:, :, None]
-                  + ce[j : j + 1, :][None] * hcos_ref[j][:, :, None])
-            Hpj = (ce[j : j + 1, :][None] * hsin_ref[j][:, :, None]
-                   - se[j : j + 1, :][None] * hcos_ref[j][:, :, None])
-            if Tval is None:
-                Tval_new = Hj
-                Ttans[0] = Hpj
+                f = f + tcol(_crf_fixed_v(v0, g0), 0)
             else:
-                Tval_new = _mmn(Tval, Hj, 4)
-                for t in range(j):
-                    if Ttans[t] is not None:
-                        Ttans[t] = _mmn(Ttans[t], Hj, 4)
-                Ttans[j] = _mmn(Tval, Hpj, 4)
-            Tval = Tval_new
-        ee = Tval[0:3, 3, :]                              # (3, N)
-        err = ee - goal_ref[:]                            # (3, N)
-        gq_rows = []
-        for t in range(nq):
-            Jt = Ttans[t][0:3, 3, :]                      # (3, N)
-            gq_rows.append(_sum3(Jt * err))
-        gq = jnp.concatenate(gq_rows, axis=0)             # (nq, N)
-        grad = jnp.concatenate([gq, qd_cost * qde], axis=0)   # (nx, N)
-        gq_ext = jnp.concatenate([gq, jnp.zeros((nq, N), xu.dtype)], axis=0)
-        Qmat = gq_ext[:, None, :] * gq_ext[None, :, :]
-        qd_diag = ((rowx == colx) & (rowx >= nq)).astype(xu.dtype) * qd_cost
-        Qmat = Qmat + qd_diag
+                f = f + _crf_fixed_v(v0, g0)
+            fs.append(f)
+            v_par, a_par = v, a
+        taus = [None] * nq
+        f_carry = fs[nq - 1]
+        for k in range(nq - 1, -1, -1):
+            taus[k] = f_carry[2]                      # (nt, N)
+            if k > 0:
+                fc = _mm6_T(X[k], f_carry)
+                if tangents:
+                    # d/dq_k of X_k^T f: uses the carry's VALUE column
+                    xf = _mm6_T(Xp[k], f_carry[:, 0:1, :])
+                    fc = fc + tcol(xf, 1 + k)
+                f_carry = fs[k - 1] + fc
+        return jnp.stack(taus, axis=0)                # (nq, nt, N)
 
-        return Amat, Bmat, Qmat, grad, xnext, Minv, qdd, dqdd
+    # CRBA mass matrix (value only)
+    IC = [jnp.broadcast_to(I_ref[k][:, :, None], (6, 6, N)) for k in range(nq)]
+    for k in range(nq - 1, 0, -1):
+        IC[k - 1] = IC[k - 1] + _mm6_T(X[k], _mmn(IC[k], X[k], 6))
+    F = jnp.zeros((6, nq, N), xu.dtype)
+    rows = [None] * nq
+    coln = jax.lax.broadcasted_iota(jnp.int32, (6, nq, N), 1)
+    for j in range(nq - 1, -1, -1):
+        F = jnp.where(coln == j, jnp.broadcast_to(IC[j][:, 2, :][:, None, :], F.shape), F)
+        rows[j] = F[2]                                # (nq, N): M[j, k] for k >= j
+        if j > 0:
+            F = _mm6_T(X[j], F)
+    Mupper = jnp.stack(rows, axis=0)                  # (nq, nq, N) upper (row<=col)
+    rown = jax.lax.broadcasted_iota(jnp.int32, (nq, nq, N), 0)
+    colnn = jax.lax.broadcasted_iota(jnp.int32, (nq, nq, N), 1)
+    MuT = jnp.stack([Mupper[:, i, :] for i in range(nq)], axis=0)  # transpose01
+    M = jnp.where(rown <= colnn, Mupper, MuT)
+    Minv = _gj_inverse_lanes(M, nq)                   # (nq, nq, N)
+
+    # bias + qdd
+    tau_bias = rnea_pass(None, 1)
+    c_bias = tau_bias[:, 0, :]                  # (nq, N)
+    umc = u - c_bias
+    qdd = Minv[:, 0, :] * umc[0:1, :]
+    for j in range(1, nq):
+        qdd = qdd + Minv[:, j, :] * umc[j : j + 1, :]  # (nq, N)
+
+    # tangent RNEA at fixed qdd -> dID/dq, dID/dqd
+    tau_multi = rnea_pass(qdd, NT)
+    dID = jnp.stack([tau_multi[:, 1 + t, :] for t in range(2 * nq)], axis=1)
+    # dqdd/d{q,qd} = -Minv @ dID  -> (nq, 2nq, N)
+    dqdd = -(Minv[:, 0:1, :] * dID[0:1, :, :])
+    for j in range(1, nq):
+        dqdd = dqdd - Minv[:, j : j + 1, :] * dID[j : j + 1, :, :]
+    dq_blk = dqdd[:, 0:nq, :]                         # d qdd / d q
+    dqd_blk = dqdd[:, nq : 2 * nq, :]                 # d qdd / d qd
+
+    # ---------- integrator step + Jacobians (integrator.cuh:59-130) ----
+    rowx = jax.lax.broadcasted_iota(jnp.int32, (nx, nx, N), 0)
+    colx = jax.lax.broadcasted_iota(jnp.int32, (nx, nx, N), 1)
+    eyex = (rowx == colx).astype(xu.dtype)
+    if integrator_type == 0:
+        qn = q + dt * qd
+        qdn = qd + dt * qdd
+        rowt = jax.lax.broadcasted_iota(jnp.int32, (nq, nx, N), 0)
+        colt2 = jax.lax.broadcasted_iota(jnp.int32, (nq, nx, N), 1)
+        top = jnp.where(colt2 == rowt + nq, dt, 0.0)
+        bot = jnp.concatenate([dt * dq_blk, dt * dqd_blk], axis=1)
+        Amat = eyex + jnp.concatenate([top, bot], axis=0)
+        Bmat = jnp.concatenate(
+            [jnp.zeros((nq, nq, N), xu.dtype), dt * Minv], axis=0
+        )
+    else:
+        qdn = qd + dt * qdd
+        qn = q + dt * qdn
+        eyeq = (jax.lax.broadcasted_iota(jnp.int32, (nq, nq, N), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (nq, nq, N), 1)
+                ).astype(xu.dtype)
+        top = jnp.concatenate(
+            [dt * dt * dq_blk, dt * eyeq + dt * dt * dqd_blk], axis=1
+        )
+        bot = jnp.concatenate([dt * dq_blk, dt * dqd_blk], axis=1)
+        Amat = eyex + jnp.concatenate([top, bot], axis=0)
+        Bmat = jnp.concatenate([dt * dt * Minv, dt * Minv], axis=0)
+    xnext = jnp.concatenate([qn, qdn], axis=0)        # (nx, N)
+
+    # ---------- tracking cost grad/Hessian at xeval ----------
+    qe = xeval_ref[0:nq]
+    qde = xeval_ref[nq:nx]
+    se = jnp.sin(qe)
+    ce = jnp.cos(qe)
+    # product-rule chain: carry the value transform and the nq tangent
+    # transforms separately; tangent t only becomes nonzero at joint t
+    Tval = None
+    Ttans = [None] * nq                              # each (4,4,N) or None
+    for j in range(nq):
+        Hj = (hc_ref[j][:, :, None] + se[j : j + 1, :][None] * hsin_ref[j][:, :, None]
+              + ce[j : j + 1, :][None] * hcos_ref[j][:, :, None])
+        Hpj = (ce[j : j + 1, :][None] * hsin_ref[j][:, :, None]
+               - se[j : j + 1, :][None] * hcos_ref[j][:, :, None])
+        if Tval is None:
+            Tval_new = Hj
+            Ttans[0] = Hpj
+        else:
+            Tval_new = _mmn(Tval, Hj, 4)
+            for t in range(j):
+                if Ttans[t] is not None:
+                    Ttans[t] = _mmn(Ttans[t], Hj, 4)
+            Ttans[j] = _mmn(Tval, Hpj, 4)
+        Tval = Tval_new
+    ee = Tval[0:3, 3, :]                              # (3, N)
+    err = ee - goal_ref[:]                            # (3, N)
+    gq_rows = []
+    for t in range(nq):
+        Jt = Ttans[t][0:3, 3, :]                      # (3, N)
+        gq_rows.append(_sum3(Jt * err))
+    gq = jnp.concatenate(gq_rows, axis=0)             # (nq, N)
+    grad = jnp.concatenate([gq, qd_cost * qde], axis=0)   # (nx, N)
+    gq_ext = jnp.concatenate([gq, jnp.zeros((nq, N), xu.dtype)], axis=0)
+    Qmat = gq_ext[:, None, :] * gq_ext[None, :, :]
+    qd_diag = ((rowx == colx) & (rowx >= nq)).astype(xu.dtype) * qd_cost
+    Qmat = Qmat + qd_diag
+
+    return Amat, Bmat, Qmat, grad, xnext, Minv, qdd, dqdd
 
 
 def _make_kkt_kernel(nq: int, N: int, integrator_type: int, gravity: float,
@@ -346,7 +344,7 @@ def _make_kkt_kernel(nq: int, N: int, integrator_type: int, gravity: float,
             picks = {
                 0: dict(minv=Minv),
                 1: dict(q=jnp.concatenate([qdd, qdd], axis=0)),
-                2: dict(q=jnp.concatenate([dqdd[:, 0, :], dqdd[:, 7, :]], axis=0)),
+                2: dict(q=jnp.concatenate([dqdd[:, 0, :], dqdd[:, nq, :]], axis=0)),
                 3: dict(A=Amat, B=Bmat, x=xnext),
                 4: dict(q=grad),
                 5: dict(Q=Qmat),
@@ -618,7 +616,7 @@ def build_kkt_schur_pallas(
     return dict(S=S, Pinv=P, gamma=gamma, Qinv=Qinv, A=A, B=B, q=qv)
 
 
-def _make_dz_kernel(nq: int, N: int, integrator_type: int):
+def _make_dz_kernel(nq: int, N: int):
     nx = 2 * nq
 
     def kernel(lam_ref, Qinv_ref, A_ref, Bm_ref, qv_ref, u_ref, rho_ref,
@@ -643,9 +641,9 @@ def _make_dz_kernel(nq: int, N: int, integrator_type: int):
 
 
 @highest_precision
-@partial(jax.jit, static_argnames=("integrator_type", "interpret"))
-def compute_dz_pallas(lane_kkt: dict, lam, u, rho, dt, r_cost,
-                      integrator_type: int = 0, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret",))
+def compute_dz_pallas(lane_kkt: dict, lam, u, rho, r_cost,
+                      interpret: bool = False):
     """dz recovery from lane-packed blocks (include/common/dz.cuh equivalent).
 
     lam: (N, nx) costate solve; u: (N, nq) controls. Returns dz (N, nx+nq).
@@ -657,7 +655,7 @@ def compute_dz_pallas(lane_kkt: dict, lam, u, rho, dt, r_cost,
     rho_row = jnp.broadcast_to(jnp.asarray(rho, dtype), (1, N))
     scal = jnp.asarray([r_cost], dtype)
     dz_l = pl.pallas_call(
-        _make_dz_kernel(nq, N, integrator_type),
+        _make_dz_kernel(nq, N),
         out_shape=jax.ShapeDtypeStruct((nx + nq, N), dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],

@@ -101,7 +101,8 @@ def sqp_solve(
 
         def make_kkt(xu):
             return build_kkt_pallas(
-                model, cost, xu, xs, ee_goal, dt, integrator_type
+                model, cost, xu, xs, ee_goal, dt, integrator_type,
+                interpret=interpret,
             )
     else:
         def make_kkt(xu):
@@ -124,8 +125,7 @@ def sqp_solve(
         )
         lam_new = res.lam.T
         dz = compute_dz_pallas(
-            lane, lam_new, xu[:, nx:], rho, dt, cost.r_cost, integrator_type,
-            interpret=interpret,
+            lane, lam_new, xu[:, nx:], rho, cost.r_cost, interpret=interpret,
         )
         return lam_new, res.iters, res.converged, dz
 

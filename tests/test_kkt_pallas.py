@@ -75,7 +75,7 @@ def test_fused_kkt_schur_matches_xla(problem):
 
     lam = jax.random.normal(jax.random.PRNGKey(1), (xu.shape[0], 14), jnp.float32)
     dz_ref = compute_dz(kkt, schur, lam)
-    dz = compute_dz_pallas(out, lam, xu[:, 14:], rho, 1 / 64.0, cost.r_cost,
+    dz = compute_dz_pallas(out, lam, xu[:, 14:], rho, cost.r_cost,
                            interpret=True)
     np.testing.assert_allclose(np.asarray(dz), np.asarray(dz_ref),
                                atol=5e-5 * float(np.max(np.abs(dz_ref))))

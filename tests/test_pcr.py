@@ -7,7 +7,8 @@ import pytest
 
 from mpcgpu_tpu.config import CostConfig
 from mpcgpu_tpu.models import iiwa14
-from mpcgpu_tpu.ops.pcr import btd_matvec_ref, pcr_solve, pcr_solve_refined
+from mpcgpu_tpu.ops.btd import btd_matvec
+from mpcgpu_tpu.ops.pcr import pcr_solve, pcr_solve_refined
 from mpcgpu_tpu.ops.schur import form_schur_system
 from mpcgpu_tpu.solver.kkt import build_kkt
 from mpcgpu_tpu.utils.trajfiles import load_eepos_traj, load_xu_traj
@@ -25,7 +26,7 @@ def _schur(N, dtype):
 
 
 def _true_residual(S, x, b):
-    return float(jnp.max(jnp.abs(btd_matvec_ref(S, x) - b)))
+    return float(jnp.max(jnp.abs(btd_matvec(S, x) - b)))
 
 
 @pytest.mark.parametrize("N", [4, 16, 64, 100])
