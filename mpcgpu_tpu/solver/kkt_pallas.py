@@ -39,7 +39,6 @@ from mpcgpu_tpu.config import CostConfig
 from mpcgpu_tpu.models.robot import RobotModel
 from mpcgpu_tpu.precision import highest_precision
 
-NT = 15  # multi-vector width: 1 value column + 7 dq + 7 dqd tangents
 
 
 def _mm6(M, V):
@@ -134,6 +133,7 @@ def _kkt_core(xu_ref, xeval_ref, goal_ref, dt,
     """Traced core shared by the KKT and KKT+Schur kernels; returns the
     lane-packed blocks (Amat, Bmat, Qmat, grad, xnext, Minv, qdd, dqdd)."""
     nx = 2 * nq
+    NT = 1 + 2 * nq   # multi-vector width: value column + nq dq + nq dqd
     xu = xu_ref[:]                               # (nx+nu, N)
     q = xu[0:nq]
     qd = xu[nq:nx]
