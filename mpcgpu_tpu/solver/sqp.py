@@ -93,6 +93,9 @@ def sqp_solve(
     # fully-fused kernel pipeline: KKT+Schur+stair in one kernel emitting the
     # PCG kernel's lane layout directly, then lane-layout PCG, then dz kernel
     if fused is None:
+        # pcr_pallas runs unfused: XLA VMEM-pins the kkt->pcr inter-kernel
+        # buffers and overflows the 16 MB scoped budget (same failure mode
+        # as large vmap batches)
         fused = (use_pallas and linsys == "pcg_pallas"
                  and pcg_cfg.preconditioner == "stair")
 
@@ -109,7 +112,7 @@ def sqp_solve(
             return build_kkt(model, cost, xu, xs, ee_goal, dt, integrator_type)
 
     def fused_step(xu, lam, rho):
-        """KKT -> Schur -> PCG -> dz entirely through the lane-layout kernels."""
+        """KKT -> Schur -> linsys -> dz entirely through the lane kernels."""
         from mpcgpu_tpu.ops.pcg_pallas import pcg_solve_pallas_lanes
         from mpcgpu_tpu.solver.kkt_pallas import (
             build_kkt_schur_pallas, compute_dz_pallas)
@@ -152,6 +155,12 @@ def sqp_solve(
             from mpcgpu_tpu.ops.pcr import pcr_solve_refined
 
             lam_new = pcr_solve_refined(schur.S, schur.gamma, refine=1)
+            return lam_new, jnp.int32(1), jnp.bool_(True)
+        elif linsys == "pcr_pallas":
+            from mpcgpu_tpu.ops.pcr_pallas import pcr_solve_pallas
+
+            lam_new = pcr_solve_pallas(schur.S, schur.gamma, refine=1,
+                                       interpret=interpret)
             return lam_new, jnp.int32(1), jnp.bool_(True)
         else:
             raise ValueError(f"unknown linsys {linsys!r}")
