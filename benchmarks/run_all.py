@@ -217,6 +217,25 @@ def cfg6_pcr_n64(K=200):
     dt_s = chain_time(stage, K=K)
     emit(metric="pcr_direct_solve_n64", value=round(dt_s * 1e6, 1), unit="us")
 
+    if jax.default_backend() == "tpu":
+        from mpcgpu_tpu.ops.pcr_pallas import pcr_solve_pallas
+
+        def stage_pal(t):
+            return pcr_solve_pallas(schur.S, schur.gamma + t, refine=1)[0, 0] + 1.0
+
+        dt_s = chain_time(stage_pal, K=K)
+        emit(metric="pcr_pallas_direct_solve_n64", value=round(dt_s * 1e6, 1),
+             unit="us")
+
+        def stage_sqp(t):
+            res = sqp_solve(model, cost, SQPConfig(max_iter=1), PCGConfig(),
+                            xu + t, lam, xs, ee, 1e-3, DT, linsys="pcr_pallas")
+            return res.merit + 1.0
+
+        dt_s = chain_time(stage_sqp, K=K)
+        emit(metric="sqp_pcr_iteration_n64", value=round(dt_s * 1e6, 1),
+             unit="us", vs_2ms_budget=round(2000.0 / (dt_s * 1e6), 3))
+
 
 def cfg7_ondevice_sim():
     import time as _t
