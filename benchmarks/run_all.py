@@ -156,14 +156,10 @@ def cfg4_batched(B=256, K=20):
     cost = CostConfig.for_knots(N)
     linsys = "pcg_pallas" if jax.default_backend() == "tpu" else "pcg"
     rho = jnp.full((B,), 1e-3, jnp.float32)
-
-    def one(xu_, lam_, xs_, ee_, rho_):
-        return sqp_solve(model, cost, SQPConfig(max_iter=1),
-                         PCGConfig(max_iter=173, exit_tol=1e-5),
-                         xu_, lam_, xs_, ee_, rho_, DT, linsys=linsys,
-                         fused=False)
-
-    batched = jax.vmap(one)
+    batched = make_batched_sqp_solver(
+        model, cost, SQPConfig(max_iter=1),
+        PCGConfig(max_iter=173, exit_tol=1e-5), DT, linsys=linsys,
+        donate=False)
 
     def stage(t):
         res = batched(xu + t, lam, xs, ee, rho)

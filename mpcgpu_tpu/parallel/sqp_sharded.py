@@ -241,16 +241,19 @@ def sqp_solve_sharded(
         final = jax.lax.while_loop(
             lambda s: jnp.logical_and(s["it"] < sqp_cfg.max_iter, ~s["stop"]),
             body, init)
-        return (final["xu"], final["lam"], final["rho"], final["it"],
-                final["merit"], final["gave_up"], final["pcg_iters"],
-                final["pcg_converged"], final["ls_alpha_idx"])
+        return (final["xu"], final["lam"], final["rho"], final["drho"],
+                final["it"], final["merit"], final["gave_up"],
+                final["pcg_iters"], final["pcg_converged"],
+                final["ls_alpha_idx"])
 
     fn = shard_map(
         local, mesh=mesh,
         in_specs=(P(knot_axis), P(knot_axis), P(knot_axis), P(), P()),
-        out_specs=(P(knot_axis), P(knot_axis), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(knot_axis), P(knot_axis), P(), P(), P(), P(), P(), P(),
+                   P(), P()),
     )
     out = fn(xu, lam, ee_goal, xs, jnp.asarray(rho, dtype))
-    return SQPResult(xu=out[0], lam=out[1], rho=out[2], sqp_iters=out[3],
-                     merit=out[4], gave_up=out[5], pcg_iters=out[6],
-                     pcg_converged=out[7], ls_alpha_idx=out[8])
+    return SQPResult(xu=out[0], lam=out[1], rho=out[2], drho=out[3],
+                     sqp_iters=out[4], merit=out[5], gave_up=out[6],
+                     pcg_iters=out[7], pcg_converged=out[8],
+                     ls_alpha_idx=out[9])

@@ -82,10 +82,15 @@ def _simulate_plant(model: RobotModel, xs, xu_plan, time_offset_s, sim_time_s,
         xn = jnp.concatenate([x[:nq] + dt * x[nq:], x[nq:] + dt * qdd])
         return xn, None
 
-    ts = time_offset_s + sim_step * jnp.arange(n_steps + 1, dtype=xs.dtype)
-    dts = jnp.full((n_steps + 1,), sim_step, xs.dtype).at[-1].set(
-        jnp.asarray(sim_time_s % sim_step, xs.dtype)
-    )
+    # dt_i = clip(sim_time - i*sim_step, 0, sim_step): full substeps while
+    # time remains, one exact partial step, zero-length steps after — sums to
+    # exactly sim_time for ANY traced sim_time <= (n_steps+1)*sim_step (so
+    # the adaptive-frequency mode's varying solve times integrate correctly,
+    # and exact multiples of sim_step don't gain a spurious extra substep)
+    offsets = sim_step * jnp.arange(n_steps + 1, dtype=xs.dtype)
+    ts = time_offset_s + offsets
+    sim_time_s = jnp.asarray(sim_time_s, xs.dtype)
+    dts = jnp.clip(sim_time_s - offsets, 0.0, sim_step)
     xs_final, _ = jax.lax.scan(substep, xs, (ts, dts))
     return xs_final
 
@@ -142,10 +147,7 @@ def simulate_mpc(
     nx, nu = 2 * nq, nq
     traj_steps = xu_traj.shape[0]
     cost = cost or CostConfig.for_knots(N)
-    pcg_cfg = pcg_cfg or PCGConfig(
-        max_iter=PCGConfig.tuned_max_iter(N),
-        exit_tol=linsys_exit_tol if linsys_exit_tol is not None else 1e-5,
-    )
+    pcg_cfg = pcg_cfg or PCGConfig(max_iter=PCGConfig.tuned_max_iter(N))
     if linsys_exit_tol is not None:
         pcg_cfg = dataclasses.replace(pcg_cfg, exit_tol=linsys_exit_tol)
 
@@ -173,10 +175,11 @@ def simulate_mpc(
             t0 = time.perf_counter()
             agg_iters, agg_conv, agg_alpha = [], [], []
             res = None
+            drho = jnp.asarray(1.0, dtype)
             for _ in range(sqp_cfg.max_iter):
-                res = solver_1(xu, lam, xs, ee_goal, rho)
+                res = solver_1(xu, lam, xs, ee_goal, rho, drho)
                 jax.block_until_ready(res.xu)
-                xu, lam, rho = res.xu, res.lam, res.rho
+                xu, lam, rho, drho = res.xu, res.lam, res.rho, res.drho
                 agg_iters.append(int(res.pcg_iters[0]))
                 agg_conv.append(bool(res.pcg_converged[0]))
                 agg_alpha.append(int(res.ls_alpha_idx[0]))
@@ -194,9 +197,13 @@ def simulate_mpc(
 
         solver = solve_budgeted
 
-    # plant substep counts are static (const-update-freq mode)
+    # static substep budget; the clip schedule in _simulate_plant makes any
+    # traced sim_time <= this budget integrate exactly (adaptive mode uses
+    # the measured solve time, bounded by the SQP wall cap)
     sim_time_s = sim_cfg.simulation_period_us * 1e-6
-    n_sub = int(sim_time_s / sim_cfg.sim_step_time)
+    max_sim_s = sim_time_s if sim_cfg.const_update_freq else max(
+        sim_time_s, (sqp_cfg.max_time_us or sim_cfg.simulation_period_us) * 1e-6)
+    n_sub = int(round(max_sim_s / sim_cfg.sim_step_time))
     plant = _plant_fn()
 
     # warm-up (REMOVE_JITTERS, mpcsim.cuh:222-242) + compile

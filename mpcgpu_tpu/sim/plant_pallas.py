@@ -32,7 +32,7 @@ def _make_plant_kernel(nq: int, N: int, n_steps: int, gravity: float):
         t_off = scal_ref[0]
         timestep = scal_ref[1]
         sim_step = scal_ref[2]
-        last_dt = scal_ref[3]
+        sim_time = scal_ref[3]
         xs = xs_ref[:]                              # (2nq, 1)
         plan_u = plan_ref[:]                        # (nq, N) controls per knot
         dtype = xs.dtype
@@ -96,12 +96,14 @@ def _make_plant_kernel(nq: int, N: int, n_steps: int, gravity: float):
 
         def sub(i, st):
             q, qd = st
-            t = t_off + sim_step * i.astype(dtype)
+            off = sim_step * i.astype(dtype)
+            t = t_off + off
             idx = jnp.minimum((t / timestep).astype(jnp.int32), N - 1)
             sel = (lane == idx).astype(dtype)               # (1, N) one-hot
             u = jnp.sum(plan_u * sel, axis=1, keepdims=True)  # (nq, 1)
             qdd = aba(q, qd, u)
-            dt = jnp.where(i == n_steps, last_dt, sim_step)
+            # clip schedule: sums to exactly sim_time (see _simulate_plant)
+            dt = jnp.clip(sim_time - off, 0.0, sim_step)
             return (q + dt * qd, qd + dt * qdd)
 
         q, qd = jax.lax.fori_loop(
@@ -123,8 +125,7 @@ def simulate_plant_pallas(model: RobotModel, xs, xu_plan, time_offset_s,
     dtype = xs.dtype
     scal = jnp.stack([
         jnp.asarray(time_offset_s, dtype), jnp.asarray(timestep, dtype),
-        jnp.asarray(sim_step, dtype),
-        jnp.asarray(sim_time_s % sim_step, dtype),
+        jnp.asarray(sim_step, dtype), jnp.asarray(sim_time_s, dtype),
     ])
     out = pl.pallas_call(
         _make_plant_kernel(nq, N, n_steps, float(model.gravity)),

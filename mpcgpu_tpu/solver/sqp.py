@@ -34,6 +34,7 @@ class SQPResult(NamedTuple):
     xu: jax.Array           # (N, nx+nu) updated iterate
     lam: jax.Array          # (N, nx) updated multipliers
     rho: jax.Array          # () updated regularization
+    drho: jax.Array         # () updated L-M rho multiplier (pcg/sqp.cuh:304-320)
     sqp_iters: jax.Array    # () int32 iterations performed
     merit: jax.Array        # () final merit value
     gave_up: jax.Array      # () bool — rho exceeded rho_max (pcg/sqp.cuh:309-313)
@@ -59,6 +60,7 @@ def sqp_solve(
     integrator_type: int = 0,
     merit_impl: str = "auto",
     fused: bool | None = None,
+    drho0=1.0,
 ) -> SQPResult:
     """One SQP solve. All array args traced; model/configs/linsys static.
 
@@ -236,7 +238,7 @@ def sqp_solve(
         xu=xu,
         lam=lam,
         rho=rho,
-        drho=jnp.asarray(1.0, dtype),
+        drho=jnp.asarray(drho0, dtype),
         merit=jnp.asarray(jnp.inf, dtype),
         it=jnp.int32(0),
         stop=jnp.bool_(False),
@@ -250,6 +252,7 @@ def sqp_solve(
         xu=final["xu"],
         lam=final["lam"],
         rho=final["rho"],
+        drho=final["drho"],
         sqp_iters=final["it"],
         merit=final["merit"],
         gave_up=final["gave_up"],
@@ -269,16 +272,18 @@ def make_sqp_solver(
     donate: bool = True,
     integrator_type: int = 0,
 ):
-    """Build a jitted solver fn(xu, lam, xs, ee_goal, rho) -> SQPResult.
+    """Build a jitted solver fn(xu, lam, xs, ee_goal, rho[, drho]) -> SQPResult.
 
     Iterate buffers are donated so repeated MPC solves reuse device memory
     (unlike the reference's per-call cudaMalloc of the whole workspace,
-    pcg/sqp.cuh:94-135)."""
+    pcg/sqp.cuh:94-135). The optional drho argument lets chunked callers
+    (sim/mpc.py time-budget mode) carry the compounding Levenberg-Marquardt
+    multiplier across 1-iteration solves."""
 
-    def _solve(xu, lam, xs, ee_goal, rho):
+    def _solve(xu, lam, xs, ee_goal, rho, drho0=1.0):
         return sqp_solve(
             model, cost, sqp_cfg, pcg_cfg, xu, lam, xs, ee_goal, rho, dt,
-            linsys=linsys, integrator_type=integrator_type,
+            linsys=linsys, integrator_type=integrator_type, drho0=drho0,
         )
 
     donate_argnums = (0, 1) if donate else ()

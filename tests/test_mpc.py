@@ -115,3 +115,29 @@ def test_batched_ondevice_sim():
     errs = np.asarray(bat2["final_tracking_error"])
     assert np.isfinite(np.asarray(bat2["tracking_errors"])).all()
     assert len(np.unique(np.round(errs, 6))) > 1
+
+
+def test_plant_pallas_matches_xla_scan():
+    """Fused plant kernel == the XLA substep scan (interpret mode), incl.
+    partial windows shorter than the substep budget and exact multiples."""
+    import jax
+    import jax.numpy as jnp
+    from mpcgpu_tpu.sim.mpc import _simulate_plant
+    from mpcgpu_tpu.sim.plant_pallas import simulate_plant_pallas
+    from mpcgpu_tpu.models import iiwa14
+    from mpcgpu_tpu.utils.trajfiles import load_xu_traj
+
+    model = iiwa14()
+    plan = jnp.asarray(load_xu_traj("0_0")[:32], jnp.float32)
+    xs = plan[0, :14] + 0.01 * jax.random.normal(jax.random.PRNGKey(0), (14,),
+                                                 jnp.float32)
+    for t_off, sim_t in ((0.0, 5e-4), (0.002, 2e-3), (0.013, 1.3e-3)):
+        a = _simulate_plant(model, xs, plan, t_off, sim_t, 1 / 64.0, 10, 2e-4)
+        b = simulate_plant_pallas(model, xs, plan, t_off, sim_t, 1 / 64.0, 10,
+                                  2e-4, interpret=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # integrating one 2 ms window == two 1 ms windows (clip schedule exact)
+    a1 = _simulate_plant(model, xs, plan, 0.0, 1e-3, 1 / 64.0, 10, 2e-4)
+    a2 = _simulate_plant(model, a1, plan, 1e-3, 1e-3, 1 / 64.0, 10, 2e-4)
+    a = _simulate_plant(model, xs, plan, 0.0, 2e-3, 1 / 64.0, 10, 2e-4)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(a2))
