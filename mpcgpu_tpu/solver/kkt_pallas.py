@@ -101,18 +101,22 @@ def _gj_inverse_lanes(M, n):
     col = jax.lax.broadcasted_iota(jnp.int32, (n, n, B), 1)
     Inv = (row == col).astype(dtype)
     A = M
+    shape = A.shape
     for i in range(n):
         dinv = 1.0 / A[i : i + 1, i, :]                  # (1,B)
         arow = A[i, :, :] * dinv                          # (n,B) scaled pivot row
         irow = Inv[i, :, :] * dinv
         isrow = (row == i)
-        A = jnp.where(isrow, jnp.broadcast_to(arow[None, :, :], A.shape), A)
-        Inv = jnp.where(isrow, jnp.broadcast_to(irow[None, :, :], Inv.shape), Inv)
+        arow3 = jnp.broadcast_to(arow[None, :, :], shape)
+        irow3 = jnp.broadcast_to(irow[None, :, :], shape)
+        A = jnp.where(isrow, arow3, A)
+        Inv = jnp.where(isrow, irow3, Inv)
         f = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, (n, B), 0) == i, 0.0, A[:, i, :]
         )                                                 # (n,B) elim factors
-        A = A - f[:, None, :] * arow[None, :, :]
-        Inv = Inv - f[:, None, :] * irow[None, :, :]
+        f3 = jnp.broadcast_to(f[:, None, :], shape)
+        A = A - f3 * arow3
+        Inv = Inv - f3 * irow3
     return Inv
 
 
@@ -142,12 +146,15 @@ def _kkt_core(xu_ref, xeval_ref, goal_ref, dt,
     c = jnp.cos(q)
 
     X, Xp = [], []                                # X_j and dX_j/dq_j
+    def bc(M):
+        # explicit lane broadcast: implicit (6,6,1) -> (6,6,N) broadcasts
+        # crash Mosaic once N spans multiple lane vregs (> 128)
+        return jnp.broadcast_to(M[:, :, None], (6, 6, N))
     for j in range(nq):
-        sj = s[j : j + 1, :][None]
-        cj = c[j : j + 1, :][None]
-        X.append(xc_ref[j][:, :, None] + sj * xsin_ref[j][:, :, None]
-                 + cj * xcos_ref[j][:, :, None])
-        Xp.append(cj * xsin_ref[j][:, :, None] - sj * xcos_ref[j][:, :, None])
+        sj = jnp.broadcast_to(s[j : j + 1, :][None], (6, 6, N))
+        cj = jnp.broadcast_to(c[j : j + 1, :][None], (6, 6, N))
+        X.append(bc(xc_ref[j]) + sj * bc(xsin_ref[j]) + cj * bc(xcos_ref[j]))
+        Xp.append(cj * bc(xsin_ref[j]) - sj * bc(xcos_ref[j]))
 
     def rnea_pass(qdd_rows, nt):
         """RNEA pass with `nt` columns: nt = 1 is the value-only bias pass,

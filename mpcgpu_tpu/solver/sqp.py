@@ -90,7 +90,13 @@ def sqp_solve(
         use_pallas = jax.default_backend() == "tpu" and cost.mode == "ee"
     else:
         use_pallas = merit_impl == "pallas"
-    use_pallas_merit = use_pallas
+    # Mosaic kernel-validated lane ranges (a "limits[i] <= dim(i)" compiler
+    # abort appears once certain (c, 1, N) broadcast patterns span multiple
+    # lane vregs): KKT/Schur kernels hold to N=128, the merit kernel to
+    # 9*N=2304 lanes; the PCG kernel is verified through N=512. Beyond the
+    # range, the XLA twins take over.
+    use_pallas_kkt = use_pallas and N <= 128
+    use_pallas_merit = use_pallas and (sqp_cfg.num_alphas + 1) * N <= 2304
     interpret = jax.default_backend() != "tpu"
     # fully-fused kernel pipeline: KKT+Schur+stair in one kernel emitting the
     # PCG kernel's lane layout directly, then lane-layout PCG, then dz kernel
@@ -98,10 +104,10 @@ def sqp_solve(
         # pcr_pallas runs unfused: XLA VMEM-pins the kkt->pcr inter-kernel
         # buffers and overflows the 16 MB scoped budget (same failure mode
         # as large vmap batches)
-        fused = (use_pallas and linsys == "pcg_pallas"
+        fused = (use_pallas_kkt and linsys == "pcg_pallas"
                  and pcg_cfg.preconditioner == "stair")
 
-    if use_pallas:
+    if use_pallas_kkt:
         from mpcgpu_tpu.solver.kkt_pallas import build_kkt_pallas
 
         def make_kkt(xu):
