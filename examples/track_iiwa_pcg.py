@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--knots", type=int, default=32)
     ap.add_argument("--steps", type=int, default=None, help="trajectory steps to track")
     ap.add_argument("--traj", default="0_0")
+    ap.add_argument("--grid", action="store_true",
+                    help="iterate the reference's 5x5 start/goal grid with "
+                         "its skip rule (track_iiwa_pcg.cu:30-43) instead of "
+                         "a single --traj pair")
     ap.add_argument("--tols", type=float, nargs="*", default=None)
     ap.add_argument("--test-iters", type=int, default=1)
     ap.add_argument("--save", action="store_true")
@@ -43,12 +47,25 @@ def main():
     args = ap.parse_args()
 
     model = iiwa14(dtype=jnp.float32)
-    xu_traj = load_xu_traj(args.traj)
-    ee_traj = load_eepos_traj(args.traj)
-    if args.steps:
-        if args.steps <= args.knots:
-            ap.error(f"--steps ({args.steps}) must exceed --knots ({args.knots})")
-        xu_traj, ee_traj = xu_traj[: args.steps], ee_traj[: args.steps]
+    if args.grid:
+        # 5x5 start/goal grid, skip start == goal != 0 -> 21 pairs
+        # (track_iiwa_pcg.cu:30-43; the reference `break`s after the first
+        # combo at :177 — here the loop really runs)
+        traj_names = [f"{ind % 5}_{ind // 5}" for ind in range(25)
+                      if not (ind % 5 == ind // 5 and ind % 5 != 0)]
+    else:
+        traj_names = [args.traj]
+
+    def load_pair(name):
+        xu_traj = load_xu_traj(name)
+        ee_traj = load_eepos_traj(name)
+        if args.steps:
+            if args.steps <= args.knots:
+                ap.error(f"--steps ({args.steps}) must exceed --knots ({args.knots})")
+            xu_traj, ee_traj = xu_traj[: args.steps], ee_traj[: args.steps]
+        return xu_traj, ee_traj
+
+    xu_traj, ee_traj = load_pair(traj_names[0])
 
     if args.ondevice:
         import time
@@ -79,29 +96,35 @@ def main():
         return
 
     tols = args.tols or TOL_SWEEP.get(args.knots, DEFAULT_TOLS)
-    print(f"knots={args.knots} steps={len(xu_traj)} solver=PCG "
+    print(f"knots={args.knots} solver=PCG pairs={traj_names} "
           f"max_iter={PCGConfig.tuned_max_iter(args.knots)} tols={tols}")
 
     rows = []
-    for tol in tols:
-        for it in range(args.test_iters):
-            stats = simulate_mpc(
-                model, xu_traj, ee_traj,
-                knot_points=args.knots,
-                timestep=1.0 / 64.0,
-                sqp_cfg=SQPConfig(),
-                pcg_cfg=PCGConfig(max_iter=PCGConfig.tuned_max_iter(args.knots), exit_tol=tol),
-                sim_cfg=SimConfig(),
-                linsys="pcg",
-                verbose=args.verbose,
-            )
-            s = stats.summary()
-            s["exit_tol"] = tol
-            rows.append(s)
-            print(f"tol={tol:g}: {s}")
-            print_stats(stats.sqp_times_us, "sqp solve time (us)")
-            if args.save:
-                dump_tracking_data(args.outdir, f"pcg_{args.knots}_{tol:g}", stats, it)
+    for name in traj_names:
+        xu_traj, ee_traj = load_pair(name)
+        if args.grid:
+            print(f"start/goal pair {name}: {len(xu_traj)} steps")
+        for tol in tols:
+            for it in range(args.test_iters):
+                stats = simulate_mpc(
+                    model, xu_traj, ee_traj,
+                    knot_points=args.knots,
+                    timestep=1.0 / 64.0,
+                    sqp_cfg=SQPConfig(),
+                    pcg_cfg=PCGConfig(max_iter=PCGConfig.tuned_max_iter(args.knots), exit_tol=tol),
+                    sim_cfg=SimConfig(),
+                    linsys="pcg",
+                    verbose=args.verbose,
+                )
+                s = stats.summary()
+                s["exit_tol"] = tol
+                s["traj"] = name
+                rows.append(s)
+                print(f"{name} tol={tol:g}: {s}")
+                print_stats(stats.sqp_times_us, "sqp solve time (us)")
+                if args.save:
+                    dump_tracking_data(
+                        args.outdir, f"pcg_{args.knots}_{name}_{tol:g}", stats, it)
     if args.save:
         write_overall_stats_csv(f"{args.outdir}/pcg_{args.knots}_overall_stats.csv", rows)
 

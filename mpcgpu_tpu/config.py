@@ -53,6 +53,12 @@ class PCGConfig:
     # 'stair' = symmetric-stair preconditioner (pcg/linsys_setup.cuh:9-137),
     # 'jacobi' = block-diagonal only, 'none' = identity.
     preconditioner: str = "stair"
+    # Exit test metric. 'eta' (default) exits on |r . P^{-1} r| < exit_tol —
+    # the natural CG quantity, computed for free each iteration. 'rnorm'
+    # exits on ||r||_2 < exit_tol, matching the reference/GBD-PCG semantics
+    # (SURVEY.md C17) so the reference's tolerance tables
+    # (track_iiwa_pcg.cu:46-73) transfer directly.
+    exit_criterion: str = "eta"
 
     @staticmethod
     def tuned_max_iter(knot_points: int) -> int:
@@ -84,6 +90,12 @@ class SimConfig:
     sim_step_time: float = 2e-4             # plant substep (integrator.cuh:304)
     max_control_updates: int = 100000
     remove_jitters: int = 0                 # warm-up solve count (mpcsim.cuh:222-242)
-    # when True, replicate sqpTimecheck (pcg/sqp.cuh:161-169) host-side:
-    # issue 1-SQP-iteration solves until SQPConfig.max_time_us is exhausted.
+    # when True, enforce SQP_MAX_TIME_US (sqpTimecheck, pcg/sqp.cuh:161-169).
     time_budget_mode: bool = False
+    # 'ondevice' (default): one-time calibration measures the per-SQP-
+    # iteration device latency and converts max_time_us into a TRACED
+    # iteration cap inside the jitted while_loop — zero extra host round
+    # trips per control step (essential on tunneled setups where one round
+    # trip costs ~26 ms). 'host': chunked 1-iteration solves with host
+    # wall-clock checks between them (stage-accurate but round-trip-bound).
+    time_budget_impl: str = "ondevice"

@@ -29,8 +29,9 @@ class PCGResult(NamedTuple):
 
 
 @highest_precision
-@partial(jax.jit, static_argnames=("max_iter",))
-def pcg_solve(S, Pinv, gamma, lam0, max_iter: int = 173, exit_tol=1e-6) -> PCGResult:
+@partial(jax.jit, static_argnames=("max_iter", "exit_criterion"))
+def pcg_solve(S, Pinv, gamma, lam0, max_iter: int = 173, exit_tol=1e-6,
+              exit_criterion: str = "eta") -> PCGResult:
     """Solve S lam = gamma with BTD S and BTD preconditioner Pinv.
 
     Args:
@@ -39,10 +40,19 @@ def pcg_solve(S, Pinv, gamma, lam0, max_iter: int = 173, exit_tol=1e-6) -> PCGRe
       lam0: (N, n) warm start (the reference warm-starts from the previous
         MPC step's multipliers, mpcsim.cuh:186-190).
       max_iter: static iteration cap (settings.cuh:124-144).
-      exit_tol: tolerance on |r . P^{-1} r|.
+      exit_tol: tolerance on the exit metric.
+      exit_criterion: "eta" = |r . P^{-1} r| < exit_tol; "rnorm" = the
+        reference/GBD-PCG criterion ||r||_2 < exit_tol (SURVEY.md C17).
     """
+    if exit_criterion not in ("eta", "rnorm"):
+        raise ValueError(f"unknown exit_criterion {exit_criterion!r}")
     dtype = gamma.dtype
     exit_tol = jnp.asarray(exit_tol, dtype)
+
+    def exit_test(r, eta):
+        if exit_criterion == "rnorm":
+            return jnp.vdot(r, r) < exit_tol * exit_tol
+        return jnp.abs(eta) < exit_tol
 
     r0 = gamma - btd_matvec(S, lam0)
     z0 = btd_matvec(Pinv, r0)
@@ -61,7 +71,7 @@ def pcg_solve(S, Pinv, gamma, lam0, max_iter: int = 173, exit_tol=1e-6) -> PCGRe
         r = r0_ - alpha * Sp
         z = btd_matvec(Pinv, r)
         eta_new = jnp.vdot(r, z)
-        done = jnp.abs(eta_new) < exit_tol
+        done = exit_test(r, eta_new)
         beta = eta_new / eta0_
         p = z + beta * p0_
         # freeze finished lanes: under vmap the loop runs until ALL lanes
@@ -77,6 +87,6 @@ def pcg_solve(S, Pinv, gamma, lam0, max_iter: int = 173, exit_tol=1e-6) -> PCGRe
             jnp.logical_or(done0_, done),
         )
 
-    init = (lam0, r0, z0, eta0, jnp.int32(0), jnp.abs(eta0) < exit_tol)
+    init = (lam0, r0, z0, eta0, jnp.int32(0), exit_test(r0, eta0))
     lam, r, p, eta, iters, done = jax.lax.while_loop(cond, body, init)
     return PCGResult(lam=lam, iters=iters, converged=done)

@@ -50,7 +50,7 @@ def _matvec_lanes(M, x):
     return contract(M[1], x) + contract(M[0], x_prev) + contract(M[2], x_next)
 
 
-def _make_pcg_kernel(unroll: int):
+def _make_pcg_kernel(unroll: int, exit_criterion: str = "eta"):
     def _pcg_kernel(gamma_ref, lam0_ref, S_ref, Pinv_ref, max_iter_ref, tol_ref,
                     lam_ref, iters_ref, conv_ref):
         S = S_ref[:]
@@ -59,6 +59,12 @@ def _make_pcg_kernel(unroll: int):
         lam0 = lam0_ref[:]
         max_iter = max_iter_ref[0]
         tol = tol_ref[0]
+
+        def exit_test(r, eta):
+            # "rnorm" = the reference/GBD-PCG ||r|| < tol (SURVEY.md C17)
+            if exit_criterion == "rnorm":
+                return jnp.sum(r * r) < tol * tol
+            return jnp.abs(eta) < tol
 
         r0 = gamma - _matvec_lanes(S, lam0)
         z0 = _matvec_lanes(Pinv, r0)
@@ -73,7 +79,7 @@ def _make_pcg_kernel(unroll: int):
             r_n = r - alpha * Sp
             z = _matvec_lanes(Pinv, r_n)
             eta_n = jnp.sum(r_n * z)
-            done_n = jnp.abs(eta_n) < tol
+            done_n = exit_test(r_n, eta_n)
             p_n = z + (eta_n / eta) * p
             skip = jnp.logical_or(done, it >= max_iter)
             sel = lambda a, b: jnp.where(skip, a, b)
@@ -93,7 +99,7 @@ def _make_pcg_kernel(unroll: int):
                 state = step(state)
             return state
 
-        init = (lam0, r0, z0, eta0, jnp.int32(0), jnp.abs(eta0) < tol)
+        init = (lam0, r0, z0, eta0, jnp.int32(0), exit_test(r0, eta0))
         lam, r, p, eta, it, done = jax.lax.while_loop(cond, body, init)
 
         lam_ref[:] = lam
@@ -104,9 +110,11 @@ def _make_pcg_kernel(unroll: int):
 
 
 @highest_precision
-@partial(jax.jit, static_argnames=("max_iter", "interpret", "unroll"))
+@partial(jax.jit, static_argnames=("max_iter", "interpret", "unroll",
+                                   "exit_criterion"))
 def pcg_solve_pallas(S, Pinv, gamma, lam0, max_iter: int = 173, exit_tol=1e-6,
-                     interpret: bool = False, unroll: int = 4) -> PCGResult:
+                     interpret: bool = False, unroll: int = 4,
+                     exit_criterion: str = "eta") -> PCGResult:
     """Drop-in replacement for ops.pcg.pcg_solve (single chip, fused kernel).
 
     Accepts the standard (N, 3, n, n) BTD layout; transposition to the
@@ -118,15 +126,17 @@ def pcg_solve_pallas(S, Pinv, gamma, lam0, max_iter: int = 173, exit_tol=1e-6,
     l_l = jnp.transpose(lam0, (1, 0))
     res = pcg_solve_pallas_lanes(S_l, P_l, g_l, l_l, max_iter=max_iter,
                                  exit_tol=exit_tol, interpret=interpret,
-                                 unroll=unroll)
+                                 unroll=unroll, exit_criterion=exit_criterion)
     return PCGResult(lam=res.lam.T, iters=res.iters, converged=res.converged)
 
 
 @highest_precision
-@partial(jax.jit, static_argnames=("max_iter", "interpret", "unroll"))
+@partial(jax.jit, static_argnames=("max_iter", "interpret", "unroll",
+                                   "exit_criterion"))
 def pcg_solve_pallas_lanes(S_l, P_l, g_l, l_l, max_iter: int = 173,
                            exit_tol=1e-6, interpret: bool = False,
-                           unroll: int = 4) -> PCGResult:
+                           unroll: int = 4,
+                           exit_criterion: str = "eta") -> PCGResult:
     """Lane-layout entry: S/Pinv (3, n, n, N), gamma/lam0 (n, N).
 
     Used by the fused KKT+Schur kernel path (solver/kkt_pallas.py), which
@@ -140,7 +150,7 @@ def pcg_solve_pallas_lanes(S_l, P_l, g_l, l_l, max_iter: int = 173,
     tol_arr = jnp.asarray([exit_tol], dtype)
 
     lam_l, iters, conv = pl.pallas_call(
-        _make_pcg_kernel(unroll),
+        _make_pcg_kernel(unroll, exit_criterion),
         out_shape=(
             jax.ShapeDtypeStruct((n, N), dtype),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),

@@ -32,13 +32,29 @@ def make_batched_sqp_solver(
     dt: float,
     linsys: str = "pcg",
     donate: bool = True,
+    fused: bool | str = "auto",
 ):
-    # NOTE: the fully-fused single-instance kernel pipeline is disabled under
-    # the batch vmap — its inter-kernel buffers get VMEM-pinned by XLA and a
-    # large instance batch exceeds the scoped VMEM budget. The batched path
-    # uses the XLA KKT/Schur stages with the (vmappable) PCG/merit kernels.
     """fn(xu (B,N,nx+nu), lam (B,N,nx), xs (B,nx), ee_goal (B,N,6), rho (B,))
-    -> batched SQPResult."""
+    -> batched SQPResult.
+
+    fused="auto"/True selects the instance-GRIDDED fused kernel pipeline
+    (parallel/batched_fused.py: instances packed on lanes, Pallas grid over
+    instance groups, HBM-resident inter-kernel buffers) when applicable —
+    on TPU, ee cost, stair preconditioner, N <= 128 lanes per instance.
+    fused=False is the vmapped unfused path: only the fully-fused
+    INTER-kernel chain is disabled there (its inter-kernel buffers get
+    VMEM-pinned by XLA and a large batch exceeds the 16 MB scoped budget);
+    the individual kernels still run vmapped where their lane gates allow
+    (solver/sqp.py:94-100)."""
+    if fused == "auto":
+        fused = (jax.default_backend() == "tpu" and cost.mode == "ee"
+                 and pcg_cfg.preconditioner == "stair"
+                 and linsys in ("pcg", "pcg_pallas"))
+    if fused:
+        from mpcgpu_tpu.parallel.batched_fused import make_batched_fused_solver
+
+        return make_batched_fused_solver(
+            model, cost, sqp_cfg, pcg_cfg, dt, donate=donate)
 
     def _solve_one(xu, lam, xs, ee_goal, rho):
         return sqp_solve(

@@ -60,11 +60,18 @@ def _pdot(a, b, axis_name: str):
 
 
 def _pcg_local(S_loc, Pinv_loc, gamma_loc, lam_loc, max_iter: int, exit_tol,
-               axis_name: str):
+               axis_name: str, exit_criterion: str = "eta"):
     matvec = lambda M, x: btd_matvec_halo(M, x, axis_name)
     dot = lambda a, b: _pdot(a, b, axis_name)
     dtype = gamma_loc.dtype
     exit_tol = jnp.asarray(exit_tol, dtype)
+
+    def exit_test(r, eta):
+        # "rnorm" = the reference/GBD-PCG ||r|| < tol (SURVEY.md C17);
+        # the extra psum'd dot rides the same latency window as eta's.
+        if exit_criterion == "rnorm":
+            return dot(r, r) < exit_tol * exit_tol
+        return jnp.abs(eta) < exit_tol
 
     r0 = gamma_loc - matvec(S_loc, lam_loc)
     z0 = matvec(Pinv_loc, r0)
@@ -82,11 +89,11 @@ def _pcg_local(S_loc, Pinv_loc, gamma_loc, lam_loc, max_iter: int, exit_tol,
         r = r - alpha * Sp
         z = matvec(Pinv_loc, r)
         eta_new = dot(r, z)
-        done = jnp.abs(eta_new) < exit_tol
+        done = exit_test(r, eta_new)
         p = z + (eta_new / eta) * p
         return (lam, r, p, eta_new, it + 1, done)
 
-    init = (lam_loc, r0, z0, eta0, jnp.int32(0), jnp.abs(eta0) < exit_tol)
+    init = (lam_loc, r0, z0, eta0, jnp.int32(0), exit_test(r0, eta0))
     lam, _, _, _, iters, done = jax.lax.while_loop(cond, body, init)
     return lam, iters, done
 
@@ -94,14 +101,15 @@ def _pcg_local(S_loc, Pinv_loc, gamma_loc, lam_loc, max_iter: int, exit_tol,
 @highest_precision
 def pcg_solve_sharded(
     S, Pinv, gamma, lam0, mesh: Mesh, max_iter: int = 173, exit_tol=1e-6,
-    knot_axis: str = "knot",
+    knot_axis: str = "knot", exit_criterion: str = "eta",
 ) -> PCGResult:
     """Solve S lam = gamma with knot blocks sharded over ``mesh[knot_axis]``.
 
     Shapes as in ops/pcg.py; N must be divisible by the knot axis size.
     """
     fn = shard_map(
-        partial(_pcg_local, max_iter=max_iter, exit_tol=exit_tol, axis_name=knot_axis),
+        partial(_pcg_local, max_iter=max_iter, exit_tol=exit_tol,
+                axis_name=knot_axis, exit_criterion=exit_criterion),
         mesh=mesh,
         in_specs=(P(knot_axis), P(knot_axis), P(knot_axis), P(knot_axis)),
         out_specs=(P(knot_axis), P(), P()),

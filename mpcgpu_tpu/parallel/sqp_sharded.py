@@ -200,7 +200,8 @@ def sqp_solve_sharded(
             x, u, xnext, A, B, Q, q, R, r, c = build_blocks(xu_loc)
             S, Pinv, gamma, Qinv, Rinv = form_schur(A, B, Q, q, R, r, c, rho)
             lam_new, lin_iters, lin_ok = _pcg_local(
-                S, Pinv, gamma, lam_loc, pcg_cfg.max_iter, pcg_cfg.exit_tol, ax)
+                S, Pinv, gamma, lam_loc, pcg_cfg.max_iter, pcg_cfg.exit_tol,
+                ax, exit_criterion=pcg_cfg.exit_criterion)
             dz = compute_dz(A, B, q, r, Qinv, Rinv, lam_new)
             merits = merits_of(xu_loc, dz)
             merit_cur = merits[0]

@@ -134,6 +134,46 @@ def _shift_all(xu, lam, ee_goal, backfill_xu, backfill_goal):
     return xu, lam, ee_goal
 
 
+def calibrate_sqp_iteration_us(
+    model: RobotModel, cost, sqp_cfg, pcg_cfg, timestep, linsys,
+    xu, lam, xs, ee_goal, rho, chain_len: int = 32, reps: int = 3,
+    integrator_type: int = 0,
+) -> float:
+    """Measure the mean device latency of ONE SQP iteration (us).
+
+    Chains ``chain_len`` 1-iteration solves inside one jitted fori_loop
+    (feeding each result into the next) and divides the warm wall time —
+    the only valid timing methodology on tunneled TPU setups, where a single
+    dispatch measures the ~26 ms host round-trip instead of the solver.
+    Used by the on-device time-budget mode to convert SQP_MAX_TIME_US into
+    an iteration cap (the reference checks wall time between stages,
+    sqpTimecheck pcg/sqp.cuh:161-169; an iteration cap is the TPU-native
+    equivalent since the whole solve is one XLA program)."""
+    dtype = xu.dtype
+
+    @jax.jit
+    def chain(xu0, lam0, rho0):
+        def body(i, c):
+            xu_, lam_, rho_ = c
+            res = sqp_solve(
+                model, cost, sqp_cfg, pcg_cfg, xu_, lam_, xs, ee_goal, rho_,
+                timestep, linsys=linsys, max_sqp_iter=1,
+                integrator_type=integrator_type,
+            )
+            return (res.xu, res.lam, res.rho)
+
+        return jax.lax.fori_loop(0, chain_len, body, (xu0, lam0, rho0))
+
+    rho = jnp.asarray(rho, dtype)
+    jax.block_until_ready(chain(xu, lam, rho))          # compile + warm
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain(xu, lam, rho))
+        samples.append((time.perf_counter() - t0) * 1e6 / chain_len)
+    return float(np.median(samples))
+
+
 def simulate_mpc(
     model: RobotModel,
     xu_traj: np.ndarray,          # (traj_steps, nx+nu) precomputed trajectory
@@ -170,7 +210,25 @@ def simulate_mpc(
     rho = jnp.asarray(1e-3, dtype)
 
     solver = make_sqp_solver(model, cost, sqp_cfg, pcg_cfg, timestep, linsys=linsys, donate=False)
-    if sim_cfg.time_budget_mode:
+    if sim_cfg.time_budget_mode and sim_cfg.time_budget_impl == "ondevice":
+        # one-time calibration -> traced iteration cap inside the jitted
+        # while_loop; every control step is then still ONE dispatch
+        per_iter_us = calibrate_sqp_iteration_us(
+            model, cost, sqp_cfg, pcg_cfg, timestep, linsys,
+            xu, lam, xs, ee_goal, rho)
+        budget = max(1, min(sqp_cfg.max_iter,
+                            int((sqp_cfg.max_time_us or 2000.0) / per_iter_us)))
+        if verbose:
+            print(f"[budget] {per_iter_us:.0f} us/SQP-iteration calibrated -> "
+                  f"iteration budget {budget}")
+        iter_budget_arr = jnp.int32(budget)
+        base_solver = solver
+
+        def solve_ondevice_budget(xu, lam, xs, ee_goal, rho):
+            return base_solver(xu, lam, xs, ee_goal, rho, 1.0, iter_budget_arr)
+
+        solver = solve_ondevice_budget
+    elif sim_cfg.time_budget_mode:
         one_iter_cfg = dataclasses.replace(sqp_cfg, max_iter=1)
         solver_1 = make_sqp_solver(
             model, cost, one_iter_cfg, pcg_cfg, timestep, linsys=linsys, donate=False
@@ -249,6 +307,17 @@ def simulate_mpc(
         sim_time_us = (
             sim_cfg.simulation_period_us if sim_cfg.const_update_freq else sqp_time_us
         )
+        # adaptive mode: the plant's static substep schedule integrates at
+        # most max_sim_s; clamp so reported sim time == integrated time (a
+        # tunneled host round-trip can dwarf the solve budget)
+        if sim_time_us > max_sim_s * 1e6:
+            import warnings
+
+            warnings.warn(
+                f"solve wall time {sim_time_us:.0f} us exceeds the plant "
+                f"substep budget {max_sim_s * 1e6:.0f} us; clamping sim time "
+                "(host overhead, not solver time — see sim/mpc.py)")
+            sim_time_us = max_sim_s * 1e6
         xs = plant(
             model, xs, xu_old,
             jnp.asarray(prev_sim_time * 1e-6, dtype),
@@ -295,6 +364,19 @@ def simulate_mpc(
             print(
                 f"step {step:5d} offset {traj_offset:4d} sqp {sqp_time_us:8.1f}us"
             )
+
+        # live PCG-health telemetry every 1000 steps (mpcsim.cuh:382-387):
+        # warn when more than half of the linear solves exit on max_iter
+        if step > 0 and step % 1000 == 0:
+            ex = np.asarray(jnp.stack(stats.linsys_exits))
+            its = np.asarray(jnp.stack(stats.sqp_iters))
+            valid = np.arange(ex.shape[1])[None, :] < its[:, None]
+            if valid.any():
+                exit_rate = 100.0 * (1.0 - ex[valid].mean())
+                if exit_rate > 50.0:
+                    print(f"WARNING: PCG max-iter exit rate {exit_rate:.1f}% "
+                          "> 50% — increase PCGConfig.max_iter or loosen "
+                          "exit_tol (mpcsim.cuh:384-387)")
 
     stats.final_tracking_error = float(
         jnp.abs(_ee_xyz(model, xs[:nq]) - ee_goal[0, :3]).sum()
@@ -380,6 +462,107 @@ def _ondevice_run(model, cost, sqp_cfg, pcg_cfg, linsys, timestep, period_s,
                           shift_flags, tails, goal_tails, offsets)
 
 
+def _ondevice_scan_adaptive(model, cost, sqp_cfg, pcg_cfg, linsys, timestep,
+                            n_sub, sim_step, shift_threshold, per_iter_s,
+                            base_s, n_steps, traj_steps,
+                            xu0, lam0, xs0, ee0, rho0, xu_traj_j, ee_traj_j,
+                            fused=None):
+    """Adaptive-frequency closed loop entirely on device.
+
+    The reference's non-CONST_UPDATE_FREQ mode advances the plant by the
+    PREVIOUS solve's measured wall time (mpcsim.cuh:280-288) — a host-clock
+    quantity that cannot exist inside a traced program.  The TPU-native
+    equivalent models the solve time from its on-device observables:
+        t_solve = base_s + per_iter_s * sqp_iters_performed
+    with per_iter_s calibrated once (calibrate_sqp_iteration_us).  Everything
+    downstream of that substitution — the data-dependent shift schedule,
+    trajectory-offset advance, and tail backfill — runs inside the scan with
+    dynamic indexing; steps after the trajectory is exhausted freeze the
+    carry and are masked in the outputs."""
+    nq = lam0.shape[-1] // 2
+    nx = lam0.shape[-1]
+    nu = xu0.shape[-1] - nx
+    dtype = xu0.dtype
+    plant = _plant_fn()
+    max_sim_s = (n_sub + 1) * sim_step
+    qgoal = xu_traj_j[traj_steps - 1, :nq]
+    rest_row = jnp.concatenate([qgoal, jnp.zeros((nx - nq + nu,), dtype)])
+
+    def step(carry, _):
+        (xu, xu_old, lam, xs, ee_goal, rho, time_since, traj_offset,
+         shifted, prev_sim, active) = carry
+
+        res = sqp_solve(model, cost, sqp_cfg, pcg_cfg, xu, lam, xs,
+                        ee_goal, rho, timestep, linsys=linsys, fused=fused)
+        xu_n, lam_n, rho_n = res.xu, res.lam, res.rho
+
+        sim_time = jnp.clip(
+            base_s + per_iter_s * res.sqp_iters.astype(dtype), 0.0, max_sim_s)
+        xs_n = plant(model, xs, xu_old, prev_sim,
+                     sim_time, jnp.asarray(timestep, dtype), n_sub, sim_step)
+        time_since = time_since + sim_time
+
+        err = jnp.abs(_ee_xyz(model, xs_n[:nq]) - ee_goal[0, :3]).sum()
+        do_shift = jnp.logical_and(jnp.logical_and(~shifted, active),
+                                   time_since > shift_threshold)
+        traj_offset_n = traj_offset + do_shift.astype(jnp.int32)
+        tail_i = jnp.minimum(traj_offset_n + xu0.shape[0] - 1, traj_steps - 1)
+        in_range = traj_offset_n + xu0.shape[0] < traj_steps
+        tail_row = jax.lax.dynamic_index_in_dim(
+            xu_traj_j, tail_i, keepdims=False)
+        tail = jnp.where(in_range, tail_row, rest_row)
+        goal_tail = jax.lax.dynamic_index_in_dim(
+            ee_traj_j, tail_i, keepdims=False)
+
+        def with_shift(args):
+            xu_, lam_, ee_ = args
+            return _shift_all(xu_, lam_, ee_, tail, goal_tail)
+
+        xu_solved = xu_n
+        xu_n, lam_n, ee_n = jax.lax.cond(
+            do_shift, with_shift, lambda a: a, (xu_n, lam_n, ee_goal))
+        shifted_n = jnp.logical_or(shifted, do_shift)
+        wrap = time_since > timestep
+        shifted_n = jnp.where(wrap, False, shifted_n)
+        time_since = jnp.where(wrap, jnp.mod(time_since, timestep), time_since)
+        xu_n = xu_n.at[0, :nx].set(xs_n)
+        active_n = jnp.logical_and(active, traj_offset_n < traj_steps)
+
+        # freeze the whole carry once the trajectory is exhausted
+        keep = lambda new, old: jax.tree_util.tree_map(
+            lambda a, b: jnp.where(active, a, b), new, old)
+        new_carry = keep(
+            (xu_n, xu_solved, lam_n, xs_n, ee_n, rho_n, time_since,
+             traj_offset_n, shifted_n, sim_time, active_n),
+            carry)
+        out = dict(err=err, shifted=jnp.logical_and(do_shift, active),
+                   xs=xs_n, sqp_iters=res.sqp_iters, pcg_iters=res.pcg_iters,
+                   sim_time=sim_time, active=active)
+        return new_carry, out
+
+    carry0 = (xu0, xu0, lam0, xs0, ee0, rho0,
+              jnp.asarray(0.0, dtype), jnp.int32(0), jnp.bool_(False),
+              jnp.asarray(0.0, dtype), jnp.bool_(True))
+    final, outs = jax.lax.scan(step, carry0, None, length=n_steps)
+    xs, ee_goal = final[3], final[4]
+    final_err = jnp.abs(_ee_xyz(model, xs[:nq]) - ee_goal[0, :3]).sum()
+    return outs, final_err
+
+
+@partial(jax.jit, static_argnames=("cost", "sqp_cfg", "pcg_cfg", "linsys",
+                                   "timestep", "n_sub", "sim_step",
+                                   "shift_threshold", "per_iter_s", "base_s",
+                                   "n_steps", "traj_steps"))
+def _ondevice_run_adaptive(model, cost, sqp_cfg, pcg_cfg, linsys, timestep,
+                           n_sub, sim_step, shift_threshold, per_iter_s,
+                           base_s, n_steps, traj_steps,
+                           xu0, lam0, xs0, ee0, rho0, xu_traj_j, ee_traj_j):
+    return _ondevice_scan_adaptive(
+        model, cost, sqp_cfg, pcg_cfg, linsys, timestep, n_sub, sim_step,
+        shift_threshold, per_iter_s, base_s, n_steps, traj_steps,
+        xu0, lam0, xs0, ee0, rho0, xu_traj_j, ee_traj_j)
+
+
 def _ondevice_schedule(xu_traj, eepos_traj, N, nx, nu, timestep, period_s,
                        shift_threshold, max_updates, dtype):
     """Host-side precomputation of the deterministic const-frequency shift
@@ -426,6 +609,8 @@ def simulate_mpc_ondevice(
     sim_cfg: SimConfig = SimConfig(),
     linsys: str = "auto",
     dtype=jnp.float32,
+    per_iter_us: Optional[float] = None,
+    base_us: float = 0.0,
 ):
     """The ENTIRE closed-loop tracking run as one jitted ``lax.scan``.
 
@@ -436,9 +621,13 @@ def simulate_mpc_ondevice(
     per-step dispatch; on tunneled TPU setups the host loop pays ~26 ms of
     round-trip per control step, ~100x the solve itself).
 
-    Const-update-frequency mode only (CONST_UPDATE_FREQ, settings.cuh:56): the
-    shift schedule is then a deterministic function of (period, timestep) and
-    is precomputed host-side as per-step flags/backfill indices.
+    CONST_UPDATE_FREQ mode (settings.cuh:56): the shift schedule is a
+    deterministic function of (period, timestep) precomputed host-side as
+    per-step flags/backfill indices.  Adaptive-frequency mode
+    (const_update_freq=False, mpcsim.cuh:280-288): solve wall time is modeled
+    on device as base_us + per_iter_us * sqp_iters (per_iter_us from
+    ``calibrate_sqp_iteration_us`` when not given) and the shift schedule
+    becomes data-dependent inside the scan — see _ondevice_scan_adaptive.
 
     Returns a dict of device arrays:
       tracking_errors (n_shifts,), xs_path (steps, nx), sqp_iters (steps,),
@@ -452,12 +641,46 @@ def simulate_mpc_ondevice(
     pcg_cfg = pcg_cfg or PCGConfig(max_iter=PCGConfig.tuned_max_iter(N), exit_tol=1e-5)
     if linsys == "auto":
         linsys = "pcg_pallas" if jax.default_backend() == "tpu" else "pcg"
-    if not sim_cfg.const_update_freq:
-        raise ValueError("on-device sim supports const_update_freq mode only")
 
     period_s = sim_cfg.simulation_period_us * 1e-6
     shift_threshold = sim_cfg.shift_threshold_frac * timestep
     n_sub = int(period_s / sim_cfg.sim_step_time)
+
+    if not sim_cfg.const_update_freq:
+        xu_traj_j = jnp.asarray(xu_traj, dtype)
+        ee_traj_j = jnp.asarray(eepos_traj, dtype)
+        xu0 = xu_traj_j[:N]
+        ee0 = ee_traj_j[:N]
+        lam0 = jnp.zeros((N, nx), dtype)
+        xs0 = xu0[0, :nx]
+        rho0 = jnp.asarray(1e-3, dtype)
+        if per_iter_us is None:
+            per_iter_us = calibrate_sqp_iteration_us(
+                model, cost, sqp_cfg, pcg_cfg, timestep, linsys,
+                xu0, lam0, xs0, ee0, rho0)
+        # plant substeps must cover the largest modeled solve
+        max_solve_s = (base_us + per_iter_us * sqp_cfg.max_iter) * 1e-6
+        n_sub_a = max(1, int(math.ceil(max_solve_s / sim_cfg.sim_step_time)))
+        min_solve_s = max((base_us + per_iter_us) * 1e-6, 1e-9)
+        n_steps = min(sim_cfg.max_control_updates,
+                      int(math.ceil(traj_steps * timestep / min_solve_s)) + 8)
+        outs, final_err = _ondevice_run_adaptive(
+            model, cost, sqp_cfg, pcg_cfg, linsys, timestep, n_sub_a,
+            sim_cfg.sim_step_time, shift_threshold,
+            float(per_iter_us) * 1e-6, float(base_us) * 1e-6,
+            n_steps, traj_steps,
+            xu0, lam0, xs0, ee0, rho0, xu_traj_j, ee_traj_j)
+        active = outs["active"]
+        return dict(
+            tracking_errors=outs["err"][outs["shifted"]],
+            xs_path=outs["xs"][active],
+            sqp_iters=outs["sqp_iters"][active],
+            pcg_iters=outs["pcg_iters"][active],
+            sim_times_us=outs["sim_time"][active] * 1e6,
+            final_tracking_error=final_err,
+            control_updates=int(np.asarray(active).sum()),
+            per_iter_us=float(per_iter_us),
+        )
 
     (shift_flags_j, tails, goal_tails, offsets_j, steps,
      xu_traj_j, ee_traj_j) = _ondevice_schedule(

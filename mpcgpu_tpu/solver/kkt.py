@@ -45,21 +45,40 @@ class KKTBlocks:
     c: jax.Array        # (N, nx) constraint residuals; c[0] = x0 - xs
 
 
-def integrator_step(model: RobotModel, x, u, dt, integrator_type: int = 0):
+# The reference's angleWrap uses a truncated pi literal (integrator.cuh:15);
+# replicated for numerical parity of the wrapped branch.
+_WRAP_PI = 3.14159
+
+
+def angle_wrap(q):
+    """Reference angleWrap (integrator.cuh:12-19): a REFLECTION at +-pi, not
+    a modular wrap — q > pi maps to -(q - pi), q < -pi to -(q + pi)."""
+    q = jnp.where(q > _WRAP_PI, -(q - _WRAP_PI), q)
+    return jnp.where(q < -_WRAP_PI, -(q + _WRAP_PI), q)
+
+
+def integrator_step(model: RobotModel, x, u, dt, integrator_type: int = 0,
+                    wrap: bool = False):
     """One integrator step (no Jacobians). Types as in integrator.cuh:22-57:
-    0 = explicit Euler, 1 = semi-implicit Euler."""
+    0 = explicit Euler, 1 = semi-implicit Euler.  ``wrap`` applies the
+    ANGLE_WRAP post-step to the position half (integrator.cuh:125-128)."""
     nq = model.nq
     q, qd = x[:nq], x[nq:]
     qdd = dynamics.forward_dynamics_aba(model, q, qd, u)
     if integrator_type == 0:
-        return jnp.concatenate([q + dt * qd, qd + dt * qdd])
+        qn, qdn = q + dt * qd, qd + dt * qdd
     elif integrator_type == 1:
-        qd_n = qd + dt * qdd
-        return jnp.concatenate([q + dt * qd_n, qd_n])
-    raise ValueError(f"integrator_type {integrator_type} not in (0, 1)")
+        qdn = qd + dt * qdd
+        qn = q + dt * qdn
+    else:
+        raise ValueError(f"integrator_type {integrator_type} not in (0, 1)")
+    if wrap:
+        qn = angle_wrap(qn)
+    return jnp.concatenate([qn, qdn])
 
 
-def euler_step_and_jacobians(model: RobotModel, x, u, dt, integrator_type: int = 0):
+def euler_step_and_jacobians(model: RobotModel, x, u, dt, integrator_type: int = 0,
+                             wrap: bool = False):
     """One integrator step x+ and its Jacobians.
 
     Matches exec_integrator / exec_integrator_gradient
@@ -77,12 +96,13 @@ def euler_step_and_jacobians(model: RobotModel, x, u, dt, integrator_type: int =
     eye = jnp.eye(nq, dtype=x.dtype)
     zero = jnp.zeros((nq, nq), dtype=x.dtype)
     if integrator_type == 0:
-        xnext = jnp.concatenate([q + dt * qd, qd + dt * qdd])
+        qn = q + dt * qd
         A = jnp.block([[eye, dt * eye], [dt * dq, eye + dt * dqd]])
         B = jnp.concatenate([zero, dt * minv], axis=0)
+        qdn = qd + dt * qdd
     elif integrator_type == 1:
-        qd_n = qd + dt * qdd
-        xnext = jnp.concatenate([q + dt * qd_n, qd_n])
+        qdn = qd + dt * qdd
+        qn = q + dt * qdn
         A = jnp.block(
             [[eye + dt * dt * dq, dt * eye + dt * dt * dqd],
              [dt * dq, eye + dt * dqd]]
@@ -90,6 +110,11 @@ def euler_step_and_jacobians(model: RobotModel, x, u, dt, integrator_type: int =
         B = jnp.concatenate([dt * dt * minv, dt * minv], axis=0)
     else:
         raise ValueError(f"integrator_type {integrator_type} not in (0, 1)")
+    if wrap:
+        # ANGLE_WRAP affects the step value only; the reference leaves the
+        # Jacobians untouched (integratorAndGradient, integrator.cuh:133-157)
+        qn = angle_wrap(qn)
+    xnext = jnp.concatenate([qn, qdn])
     return xnext, A, B
 
 
@@ -136,7 +161,8 @@ def tracking_cost_grad_hess(model: RobotModel, cost: CostConfig, x, u, goal):
 
 @highest_precision
 def build_kkt(
-    model: RobotModel, cost: CostConfig, xu, xs, ee_goal, dt, integrator_type: int = 0
+    model: RobotModel, cost: CostConfig, xu, xs, ee_goal, dt,
+    integrator_type: int = 0, angle_wrap: bool = False,
 ) -> KKTBlocks:
     """Assemble all KKT blocks for the current iterate (jit-friendly).
 
@@ -146,6 +172,7 @@ def build_kkt(
       ee_goal: (N, 6) ee goal trace.
       dt: knot timestep (static python float ok, traced ok).
       integrator_type: 0 Euler / 1 semi-implicit (static).
+      angle_wrap: apply the ANGLE_WRAP post-step in the defect (kkt.cuh:22,77).
     """
     nq = model.nq
     nx = 2 * nq
@@ -155,7 +182,8 @@ def build_kkt(
 
     # dynamics linearization at knots 0..N-2
     xnext, A, B = jax.vmap(
-        lambda xx, uu: euler_step_and_jacobians(model, xx, uu, dt, integrator_type)
+        lambda xx, uu: euler_step_and_jacobians(model, xx, uu, dt,
+                                                integrator_type, angle_wrap)
     )(x[:-1], u[:-1])
     defect = x[1:] - xnext
     c = jnp.concatenate([(x[0] - xs)[None], defect], axis=0)

@@ -93,8 +93,12 @@ def _shuffle_ez(m):
     return jnp.concatenate([m[1:2], -m[0:1], zero, m[4:5], -m[3:4], zero], axis=0)
 
 
-def _gj_inverse_lanes(M, n):
-    """Unrolled Gauss-Jordan inverse of (n,n,B) lane-packed SPD blocks."""
+def _gj_inverse_lanes_one(M, n):
+    """Unrolled Gauss-Jordan inverse of (n,n,B) lane-packed SPD blocks.
+
+    Mosaic-validated for B <= 128 lanes (one lane vreg); the full pivot-step
+    where/broadcast pattern aborts the compiler beyond that — see
+    _inv_lanes for the >128 strategies."""
     B = M.shape[2]
     dtype = M.dtype
     row = jax.lax.broadcasted_iota(jnp.int32, (n, n, B), 0)
@@ -120,6 +124,112 @@ def _gj_inverse_lanes(M, n):
     return Inv
 
 
+def _gj_inverse_lanes_masked(M, n):
+    """Gauss-Jordan via arithmetic blends ONLY (no jnp.where in the pivot
+    step): row replacement and elimination fold into one FMA per tensor,
+        A <- A * (1 - e_i) + (e_i - f) * arow
+    with float masks built from target-shape iotas.  Written to dodge the
+    Mosaic multi-lane-vreg where/broadcast abort (see _inv_lanes)."""
+    B = M.shape[2]
+    dtype = M.dtype
+    shape = (n, n, B)
+    row3 = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    col3 = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    row2 = jax.lax.broadcasted_iota(jnp.int32, (n, B), 0)
+    Inv = (row3 == col3).astype(dtype)
+    A = M
+    for i in range(n):
+        dinv = 1.0 / A[i : i + 1, i, :]                   # (1,B)
+        arow = A[i, :, :] * dinv                          # (n,B)
+        irow = Inv[i, :, :] * dinv
+        onehot2 = (row2 == i).astype(dtype)               # (n,B)
+        f = A[:, i, :] * (1.0 - onehot2)                  # (n,B), 0 at row i
+        blend = (row3 == i).astype(dtype) - jnp.broadcast_to(f[:, None, :], shape)
+        keep = (row3 != i).astype(dtype)
+        arow3 = jnp.broadcast_to(arow[None, :, :], shape)
+        irow3 = jnp.broadcast_to(irow[None, :, :], shape)
+        A = A * keep + blend * arow3
+        Inv = Inv * keep + blend * irow3
+    return Inv
+
+
+def _chol_inverse_lanes(M, n):
+    """SPD inverse by fully-unrolled scalar-row Cholesky: every intermediate
+    is a (1,B) lane row (no (n,n,B) pivot broadcasts at all), so no Mosaic
+    multi-vreg pattern can form.  ~n^3/2 FMAs on (1,B) rows — more
+    instructions than Gauss-Jordan tiles but layout-trivial.
+    A = L L^T; G = L^{-1}; A^{-1}[i,j] = sum_k G[k,i] G[k,j]."""
+    B = M.shape[2]
+    L = [[None] * n for _ in range(n)]
+    d = [None] * n                                       # 1 / L[j][j]
+    for j in range(n):
+        s = M[j : j + 1, j, :]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d[j] = jax.lax.rsqrt(s)
+        for i in range(j + 1, n):
+            t = M[i : i + 1, j, :]
+            for k in range(j):
+                t = t - L[i][k] * L[j][k]
+            L[i][j] = t * d[j]
+    # G = L^{-1}, lower triangular, G[j][j] = d[j]
+    G = [[None] * n for _ in range(n)]
+    for j in range(n):
+        G[j][j] = d[j]
+        for i in range(j + 1, n):
+            acc = L[i][j] * G[j][j]
+            for k in range(j + 1, i):
+                acc = acc + L[i][k] * G[k][j]
+            G[i][j] = -d[i] * acc
+    rows = []
+    for i in range(n):
+        cols = []
+        for j in range(n):
+            lo = max(i, j)
+            acc = G[lo][i] * G[lo][j] if lo == i or lo == j else G[lo][i] * G[lo][j]
+            for k in range(lo + 1, n):
+                acc = acc + G[k][i] * G[k][j]
+            cols.append(acc)                              # (1,B)
+        rows.append(jnp.concatenate(cols, axis=0)[None])  # (1,n,B)
+    return jnp.concatenate(rows, axis=0)                  # (n,n,B)
+
+
+# inverse implementation for >128-lane tiles; switchable so the TPU-validated
+# winner can be selected without touching the kernels.
+# "chunked" (128-lane slices through the GJ tile path) HANGS the Mosaic
+# remote compiler at >128 lanes — do not re-enable without re-validating;
+# "chol" (scalar-row Cholesky, no multi-vreg pivot broadcasts) is the
+# default for the >128 range.
+_INV_IMPL = "chol"             # "chunked" | "masked" | "chol"
+_LANE_CHUNK = 128
+
+
+def _inv_lanes(M, n):
+    """Lane-packed SPD block inverse, valid for any lane count B.
+
+    B <= 128: the proven Gauss-Jordan tile path.  Beyond one lane vreg the
+    GJ pivot pattern hits an unresolved Mosaic abort ("limits[i] <= dim(i)",
+    see .claude/skills/verify/SKILL.md), so the lane axis is processed in
+    128-lane chunks (static slices at vreg-aligned offsets), or with one of
+    the alternative formulations (_gj_inverse_lanes_masked /
+    _chol_inverse_lanes) selected via _INV_IMPL."""
+    B = M.shape[2]
+    if B <= _LANE_CHUNK:
+        return _gj_inverse_lanes_one(M, n)
+    if _INV_IMPL == "masked":
+        return _gj_inverse_lanes_masked(M, n)
+    if _INV_IMPL == "chol":
+        return _chol_inverse_lanes(M, n)
+    outs = [_gj_inverse_lanes_one(M[:, :, c : c + _LANE_CHUNK], n)
+            for c in range(0, B, _LANE_CHUNK)]
+    return jnp.concatenate(outs, axis=2)
+
+
+# back-compat alias (existing kernels and tests call _gj_inverse_lanes)
+def _gj_inverse_lanes(M, n):
+    return _inv_lanes(M, n)
+
+
 def _mmn(Ma, Mb, n):
     """(n,n,B) @ (n,n,B)."""
     cols = []
@@ -133,7 +243,7 @@ def _mmn(Ma, Mb, n):
 
 def _kkt_core(xu_ref, xeval_ref, goal_ref, dt,
               xc_ref, xsin_ref, xcos_ref, I_ref, hc_ref, hsin_ref, hcos_ref,
-              nq, N, integrator_type, gravity, qd_cost):
+              nq, N, integrator_type, gravity, qd_cost, angle_wrap=False):
     """Traced core shared by the KKT and KKT+Schur kernels; returns the
     lane-packed blocks (Amat, Bmat, Qmat, grad, xnext, Minv, qdd, dqdd)."""
     nx = 2 * nq
@@ -291,6 +401,12 @@ def _kkt_core(xu_ref, xeval_ref, goal_ref, dt,
         bot = jnp.concatenate([dt * dq_blk, dt * dqd_blk], axis=1)
         Amat = eyex + jnp.concatenate([top, bot], axis=0)
         Bmat = jnp.concatenate([dt * dt * Minv, dt * Minv], axis=0)
+    if angle_wrap:
+        # ANGLE_WRAP reflection at +-pi (integrator.cuh:12-19); step value
+        # only, Jacobians untouched, matching integratorAndGradient
+        from mpcgpu_tpu.solver.kkt import _WRAP_PI
+        qn = jnp.where(qn > _WRAP_PI, -(qn - _WRAP_PI), qn)
+        qn = jnp.where(qn < -_WRAP_PI, -(qn + _WRAP_PI), qn)
     xnext = jnp.concatenate([qn, qdn], axis=0)        # (nx, N)
 
     # ---------- tracking cost grad/Hessian at xeval ----------
@@ -334,7 +450,8 @@ def _kkt_core(xu_ref, xeval_ref, goal_ref, dt,
 
 
 def _make_kkt_kernel(nq: int, N: int, integrator_type: int, gravity: float,
-                     qd_cost: float, debug_stage: int = 99):
+                     qd_cost: float, debug_stage: int = 99,
+                     angle_wrap: bool = False):
     """debug_stage < 99 truncates the kernel after that stage (zeros for the
     remaining outputs) — a Mosaic-crash bisection aid; not a public knob."""
 
@@ -344,7 +461,7 @@ def _make_kkt_kernel(nq: int, N: int, integrator_type: int, gravity: float,
         Amat, Bmat, Qmat, grad, xnext, Minv, qdd, dqdd = _kkt_core(
             xu_ref, xeval_ref, goal_ref, dt_ref[0],
             xc_ref, xsin_ref, xcos_ref, I_ref, hc_ref, hsin_ref, hcos_ref,
-            nq, N, integrator_type, gravity, qd_cost)
+            nq, N, integrator_type, gravity, qd_cost, angle_wrap)
         if debug_stage < 99:
             z = [jnp.zeros_like(Amat), jnp.zeros_like(Bmat), jnp.zeros_like(Qmat),
                  jnp.zeros_like(grad), jnp.zeros_like(xnext), jnp.zeros_like(Minv)]
@@ -379,10 +496,12 @@ def _sum3(x):
 
 
 @highest_precision
-@partial(jax.jit, static_argnames=("cost", "integrator_type", "interpret", "_debug_stage"))
+@partial(jax.jit, static_argnames=("cost", "integrator_type", "interpret",
+                                   "_debug_stage", "angle_wrap"))
 def build_kkt_pallas(
     model: RobotModel, cost: CostConfig, xu, xs, ee_goal, dt,
     integrator_type: int = 0, interpret: bool = False, _debug_stage: int = 99,
+    angle_wrap: bool = False,
 ):
     """Fused replacement for solver.kkt.build_kkt (ee cost mode).
 
@@ -407,7 +526,7 @@ def build_kkt_pallas(
 
     A_l, B_l, Q_l, q_l, xnext_l, minv_l = pl.pallas_call(
         _make_kkt_kernel(nq, N, integrator_type, float(model.gravity),
-                         float(cost.qd_cost), _debug_stage),
+                         float(cost.qd_cost), _debug_stage, angle_wrap),
         out_shape=(
             jax.ShapeDtypeStruct((nx, nx, N), dtype),
             jax.ShapeDtypeStruct((nx, nq, N), dtype),
@@ -477,7 +596,8 @@ def _mmn_bt(Ma, Mb, n):
 
 
 def _make_kkt_schur_kernel(nq: int, N: int, integrator_type: int,
-                           gravity: float, qd_cost: float, r_cost: float):
+                           gravity: float, qd_cost: float, r_cost: float,
+                           angle_wrap: bool = False, knots: int | None = None):
     """KKT assembly + Schur condensation + stair preconditioner, one kernel.
 
     Emits (S, Pinv, gamma) DIRECTLY in the lane layout the PCG kernel wants
@@ -485,8 +605,16 @@ def _make_kkt_schur_kernel(nq: int, N: int, integrator_type: int,
     ops/schur.py::form_schur_system exactly; R + rho*I is diagonal
     ((r_cost + rho) I), so its inverse is the scalar 1/(r_cost + rho) —
     the reference inverts it with Gauss-Jordan anyway
-    (pcg/linsys_setup.cuh:357-369)."""
+    (pcg/linsys_setup.cuh:357-369).
+
+    ``N`` is the LANE count; ``knots`` (default N) the per-instance horizon.
+    When N = I * knots, lanes pack I problem instances side by side (the
+    batched grid path, parallel/batched.py): every per-knot boundary mask is
+    a function of k_local = lane %% knots, and the lane rolls that realize
+    k-1 / k+1 coupling wrap across instance boundaries only where those
+    masks are zero — the same trick as the ring halo in pcg_sharded.py."""
     nx = 2 * nq
+    knots = N if knots is None else knots
 
     def kernel(xu_ref, xeval_ref, goal_ref, rho_ref, dt_ref,
                xc_ref, xsin_ref, xcos_ref, I_ref, hc_ref, hsin_ref, hcos_ref,
@@ -499,7 +627,7 @@ def _make_kkt_schur_kernel(nq: int, N: int, integrator_type: int,
         Amat, Bmat, Qmat, grad, xnext, Minv, qdd, dqdd = _kkt_core(
             xu_ref, xeval_ref, goal_ref, dt,
             xc_ref, xsin_ref, xcos_ref, I_ref, hc_ref, hsin_ref, hcos_ref,
-            nq, N, integrator_type, gravity, qd_cost)
+            nq, N, integrator_type, gravity, qd_cost, angle_wrap)
         dtype = Amat.dtype
         u = xu_ref[nx : nx + nq, :]
         x_cur = xu_ref[0:nx, :]
@@ -508,6 +636,9 @@ def _make_kkt_schur_kernel(nq: int, N: int, integrator_type: int,
         colx = jax.lax.broadcasted_iota(jnp.int32, (nx, nx, N), 1)
         kmat = jax.lax.broadcasted_iota(jnp.int32, (nx, nx, N), 2)
         kvec = jax.lax.broadcasted_iota(jnp.int32, (nx, N), 1)
+        if knots != N:
+            kmat = jax.lax.rem(kmat, jnp.int32(knots))  # per-instance knot index
+            kvec = jax.lax.rem(kvec, jnp.int32(knots))
         eyex = (rowx == colx).astype(dtype)
 
         s_r = 1.0 / (r_cost + rho_row)                # (R+rho I)^{-1}, (1, N)
@@ -535,7 +666,7 @@ def _make_kkt_schur_kernel(nq: int, N: int, integrator_type: int,
         T = AQAT + brbt                               # theta contribution of lane k -> k+1
 
         not0 = (kmat >= 1).astype(dtype)
-        notl = (kmat <= N - 2).astype(dtype)
+        notl = (kmat <= knots - 2).astype(dtype)
         theta = Qinv + not0 * pltpu.roll(T, 1, axis=2)
         phi = -not0 * pltpu.roll(AQ, 1, axis=2)       # block (k, k-1)
         QA_T = _mmn_bt(Qinv, Amat, nx)                # Qinv_k A_k^T = (AQ_k)^T
@@ -559,6 +690,7 @@ def _make_kkt_schur_kernel(nq: int, N: int, integrator_type: int,
         D = _gj_inverse_lanes(theta, nx)
         left = -not0 * _mmn(_mmn(D, phi, nx), pltpu.roll(D, 1, axis=2), nx)
         right = -notl * _mmn(_mmn(D, phiT, nx), pltpu.roll(D, N - 1, axis=2), nx)
+        # (roll by N-1 = lane k+1; instance-boundary wraps are masked by notl)
 
         S_ref[0] = phi
         S_ref[1] = theta
@@ -576,10 +708,12 @@ def _make_kkt_schur_kernel(nq: int, N: int, integrator_type: int,
 
 
 @highest_precision
-@partial(jax.jit, static_argnames=("cost", "integrator_type", "interpret"))
+@partial(jax.jit, static_argnames=("cost", "integrator_type", "interpret",
+                                   "angle_wrap"))
 def build_kkt_schur_pallas(
     model: RobotModel, cost: CostConfig, xu, xs, ee_goal, rho, dt,
     integrator_type: int = 0, interpret: bool = False,
+    angle_wrap: bool = False,
 ):
     """One kernel: KKT blocks -> (S, Pinv, gamma) + dz inputs, lane layout.
 
@@ -602,7 +736,8 @@ def build_kkt_schur_pallas(
 
     S, P, gamma, Qinv, A, B, qv = pl.pallas_call(
         _make_kkt_schur_kernel(nq, N, integrator_type, float(model.gravity),
-                               float(cost.qd_cost), float(cost.r_cost)),
+                               float(cost.qd_cost), float(cost.r_cost),
+                               angle_wrap),
         out_shape=(
             jax.ShapeDtypeStruct((3, nx, nx, N), dtype),
             jax.ShapeDtypeStruct((3, nx, nx, N), dtype),
@@ -623,8 +758,9 @@ def build_kkt_schur_pallas(
     return dict(S=S, Pinv=P, gamma=gamma, Qinv=Qinv, A=A, B=B, q=qv)
 
 
-def _make_dz_kernel(nq: int, N: int):
+def _make_dz_kernel(nq: int, N: int, knots: int | None = None):
     nx = 2 * nq
+    knots = N if knots is None else knots
 
     def kernel(lam_ref, Qinv_ref, A_ref, Bm_ref, qv_ref, u_ref, rho_ref,
                scal_ref, dz_ref):
@@ -632,7 +768,11 @@ def _make_dz_kernel(nq: int, N: int):
         rho_row = rho_ref[:]                                # (1, N)
         lam = lam_ref[:]                                    # (nx, N)
         kvec = jax.lax.broadcasted_iota(jnp.int32, (nx, N), 1)
-        notl = (kvec <= N - 2).astype(lam.dtype)
+        kq = jax.lax.broadcasted_iota(jnp.int32, (nq, N), 1)
+        if knots != N:                                      # packed instances
+            kvec = jax.lax.rem(kvec, jnp.int32(knots))
+            kq = jax.lax.rem(kq, jnp.int32(knots))
+        notl = (kvec <= knots - 2).astype(lam.dtype)
         lam_n = pltpu.roll(lam, N - 1, axis=1) * notl       # lam_{k+1}, 0 at N-1
         rhs = qv_ref[:] - lam + _mvn_T(A_ref[:], lam_n) * notl
         dx = _mvn(Qinv_ref[:], rhs)
@@ -640,8 +780,7 @@ def _make_dz_kernel(nq: int, N: int):
         s_r = 1.0 / (r_cost + rho_row)
         u = u_ref[:]
         bt = _mvn_T(Bm_ref[:], lam_n)                       # B^T lam_+ (nq, N)
-        kq = jax.lax.broadcasted_iota(jnp.int32, (nq, N), 1)
-        du = s_r * (r_cost * u + bt) * (kq <= N - 2).astype(lam.dtype)
+        du = s_r * (r_cost * u + bt) * (kq <= knots - 2).astype(lam.dtype)
         dz_ref[:] = jnp.concatenate([dx, du], axis=0)
 
     return kernel

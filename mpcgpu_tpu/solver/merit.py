@@ -58,7 +58,7 @@ def tracking_cost(model: RobotModel, cost: CostConfig, xu, goal):
 
 @highest_precision
 def constraint_l1(model: RobotModel, xu, xs, dt, include_x0: bool,
-                  integrator_type: int = 0):
+                  integrator_type: int = 0, angle_wrap: bool = False):
     """mu-free total l1 constraint violation over knots."""
     from mpcgpu_tpu.solver.kkt import integrator_step
 
@@ -67,7 +67,7 @@ def constraint_l1(model: RobotModel, xu, xs, dt, include_x0: bool,
     x, u = xu[:, :nx], xu[:, nx:]
 
     def defect(xk, uk, xk1):
-        xnext = integrator_step(model, xk, uk, dt, integrator_type)
+        xnext = integrator_step(model, xk, uk, dt, integrator_type, angle_wrap)
         return jnp.sum(jnp.abs(xk1 - xnext))
 
     defects = jax.vmap(defect)(x[:-1], u[:-1], x[1:])
@@ -80,11 +80,11 @@ def constraint_l1(model: RobotModel, xu, xs, dt, include_x0: bool,
 @highest_precision
 def merit_function(
     model: RobotModel, cost: CostConfig, xu, xs, ee_goal, mu, dt, include_x0: bool,
-    integrator_type: int = 0,
+    integrator_type: int = 0, angle_wrap: bool = False,
 ):
     """phi(xu) = sum_k J_k + mu * sum_k |c_k|_1."""
     return tracking_cost(model, cost, xu, ee_goal) + mu * constraint_l1(
-        model, xu, xs, dt, include_x0, integrator_type
+        model, xu, xs, dt, include_x0, integrator_type, angle_wrap
     )
 
 
@@ -92,6 +92,7 @@ def merit_function(
 def line_search_merits(
     model: RobotModel, cost: CostConfig, xu, dz, xs, ee_goal, mu, dt,
     num_alphas: int = 8, integrator_type: int = 0, include_zero: bool = False,
+    angle_wrap: bool = False,
 ):
     """Merit at xu + alpha_i dz for alpha_i = -1/2^i, i = 0..num_alphas-1.
 
@@ -111,7 +112,7 @@ def line_search_merits(
         cand = xu + alpha * dz
         return merit_function(
             model, cost, cand, xs, ee_goal, mu, dt, include_x0=True,
-            integrator_type=integrator_type,
+            integrator_type=integrator_type, angle_wrap=angle_wrap,
         )
 
     return jax.vmap(merit_at)(alphas), alphas

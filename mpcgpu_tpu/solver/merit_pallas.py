@@ -97,7 +97,8 @@ def _matmat_TA(Ma, Mb):
 
 
 def _make_merit_kernel(nq: int, N: int, A: int, integrator_type: int,
-                       gravity: float, qd_cost: float, r_cost: float):
+                       gravity: float, qd_cost: float, r_cost: float,
+                       angle_wrap: bool = False):
     nx = 2 * nq
     B = A * N
 
@@ -184,6 +185,11 @@ def _make_merit_kernel(nq: int, N: int, A: int, integrator_type: int,
         else:  # semi-implicit Euler (integrator.cuh:22-57)
             qdn = qd + dt * qdd
             qn = q + dt * qdn
+        if angle_wrap:
+            # ANGLE_WRAP reflection at +-pi (integrator.cuh:12-19)
+            from mpcgpu_tpu.solver.kkt import _WRAP_PI
+            qn = jnp.where(qn > _WRAP_PI, -(qn - _WRAP_PI), qn)
+            qn = jnp.where(qn < -_WRAP_PI, -(qn + _WRAP_PI), qn)
         xnext = jnp.concatenate([qn, qdn], axis=0)         # (nx, B)
         x_cur = cand[0:nx]
         x_next_cand = pltpu.roll(x_cur, B - 1, axis=1)     # x at lane k+1
@@ -225,11 +231,11 @@ def _hom_matmat(Ta, Tb):
 
 @highest_precision
 @partial(jax.jit, static_argnames=("cost", "num_alphas", "integrator_type",
-                                   "include_zero", "interpret"))
+                                   "include_zero", "interpret", "angle_wrap"))
 def line_search_merits_pallas(
     model: RobotModel, cost: CostConfig, xu, dz, xs, ee_goal, mu, dt,
     num_alphas: int = 8, integrator_type: int = 0, include_zero: bool = True,
-    interpret: bool = False,
+    interpret: bool = False, angle_wrap: bool = False,
 ):
     """Drop-in fused replacement for solver.merit.line_search_merits.
 
@@ -258,7 +264,8 @@ def line_search_merits_pallas(
 
     out = pl.pallas_call(
         _make_merit_kernel(nq, N, A, integrator_type, float(model.gravity),
-                           float(cost.qd_cost), float(cost.r_cost)),
+                           float(cost.qd_cost), float(cost.r_cost),
+                           angle_wrap),
         out_shape=jax.ShapeDtypeStruct((2, B), dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
         + [pl.BlockSpec(memory_space=pltpu.SMEM)]

@@ -61,6 +61,8 @@ def sqp_solve(
     merit_impl: str = "auto",
     fused: bool | None = None,
     drho0=1.0,
+    angle_wrap: bool = False,
+    iter_budget=None,
 ) -> SQPResult:
     """One SQP solve. All array args traced; model/configs/linsys static.
 
@@ -69,6 +71,12 @@ def sqp_solve(
     fused: force the fully-fused kernel pipeline on/off (None = auto). Turn
     OFF for large vmap batches: XLA pins the inter-kernel buffers in VMEM and
     a 256-instance batch of Schur systems exceeds the 16 MB scoped budget.
+    iter_budget: optional TRACED iteration cap <= max_iter — the on-device
+    equivalent of the reference's sqpTimecheck wall-clock exit
+    (pcg/sqp.cuh:161-169): the MPC layer converts SQP_MAX_TIME_US into an
+    iteration count via one-time calibration (sim/mpc.py) so budgeted solves
+    cost zero extra host round-trips. Result buffers stay sized by the
+    static max_iter.
     """
     N = xu.shape[0]
     nx = lam.shape[-1]
@@ -113,11 +121,12 @@ def sqp_solve(
         def make_kkt(xu):
             return build_kkt_pallas(
                 model, cost, xu, xs, ee_goal, dt, integrator_type,
-                interpret=interpret,
+                interpret=interpret, angle_wrap=angle_wrap,
             )
     else:
         def make_kkt(xu):
-            return build_kkt(model, cost, xu, xs, ee_goal, dt, integrator_type)
+            return build_kkt(model, cost, xu, xs, ee_goal, dt, integrator_type,
+                             angle_wrap)
 
     def fused_step(xu, lam, rho):
         """KKT -> Schur -> linsys -> dz entirely through the lane kernels."""
@@ -127,12 +136,12 @@ def sqp_solve(
 
         lane = build_kkt_schur_pallas(
             model, cost, xu, xs, ee_goal, rho, dt, integrator_type,
-            interpret=interpret,
+            interpret=interpret, angle_wrap=angle_wrap,
         )
         res = pcg_solve_pallas_lanes(
             lane["S"], lane["Pinv"], lane["gamma"], lam.T,
             max_iter=pcg_cfg.max_iter, exit_tol=pcg_cfg.exit_tol,
-            interpret=interpret,
+            exit_criterion=pcg_cfg.exit_criterion, interpret=interpret,
         )
         lam_new = res.lam.T
         dz = compute_dz_pallas(
@@ -145,6 +154,7 @@ def sqp_solve(
             res = pcg_solve(
                 schur.S, schur.Pinv, schur.gamma, lam,
                 max_iter=pcg_cfg.max_iter, exit_tol=pcg_cfg.exit_tol,
+                exit_criterion=pcg_cfg.exit_criterion,
             )
             return res.lam, res.iters, res.converged
         elif linsys == "pcg_pallas":
@@ -153,6 +163,7 @@ def sqp_solve(
             res = pcg_solve_pallas(
                 schur.S, schur.Pinv, schur.gamma, lam,
                 max_iter=pcg_cfg.max_iter, exit_tol=pcg_cfg.exit_tol,
+                exit_criterion=pcg_cfg.exit_criterion,
                 interpret=jax.default_backend() != "tpu",
             )
             return res.lam, res.iters, res.converged
@@ -173,8 +184,14 @@ def sqp_solve(
         else:
             raise ValueError(f"unknown linsys {linsys!r}")
 
+    if iter_budget is None:
+        iter_bound = max_iter
+    else:
+        iter_bound = jnp.minimum(jnp.int32(max_iter),
+                                 jnp.asarray(iter_budget, jnp.int32))
+
     def cond(state):
-        return jnp.logical_and(state["it"] < max_iter, ~state["stop"])
+        return jnp.logical_and(state["it"] < iter_bound, ~state["stop"])
 
     def body(state):
         xu, lam, rho, drho = state["xu"], state["lam"], state["rho"], state["drho"]
@@ -196,13 +213,13 @@ def sqp_solve(
             merits, alphas = line_search_merits_pallas(
                 model, cost, xu, dz, xs, ee_goal, mu, dt,
                 num_alphas=sqp_cfg.num_alphas, integrator_type=integrator_type,
-                interpret=interpret,
+                interpret=interpret, angle_wrap=angle_wrap,
             )
         else:
             merits, alphas = line_search_merits(
                 model, cost, xu, dz, xs, ee_goal, mu, dt,
                 num_alphas=sqp_cfg.num_alphas, integrator_type=integrator_type,
-                include_zero=True,
+                include_zero=True, angle_wrap=angle_wrap,
             )
         merit_cur = merits[0]
         best = 1 + jnp.argmin(merits[1:])
@@ -277,19 +294,23 @@ def make_sqp_solver(
     linsys: str = "pcg",
     donate: bool = True,
     integrator_type: int = 0,
+    angle_wrap: bool = False,
 ):
-    """Build a jitted solver fn(xu, lam, xs, ee_goal, rho[, drho]) -> SQPResult.
+    """Build a jitted solver fn(xu, lam, xs, ee_goal, rho[, drho[, iter_budget]])
+    -> SQPResult.
 
     Iterate buffers are donated so repeated MPC solves reuse device memory
     (unlike the reference's per-call cudaMalloc of the whole workspace,
     pcg/sqp.cuh:94-135). The optional drho argument lets chunked callers
     (sim/mpc.py time-budget mode) carry the compounding Levenberg-Marquardt
-    multiplier across 1-iteration solves."""
+    multiplier across 1-iteration solves; the optional iter_budget argument
+    is the traced on-device iteration cap (see sqp_solve)."""
 
-    def _solve(xu, lam, xs, ee_goal, rho, drho0=1.0):
+    def _solve(xu, lam, xs, ee_goal, rho, drho0=1.0, iter_budget=None):
         return sqp_solve(
             model, cost, sqp_cfg, pcg_cfg, xu, lam, xs, ee_goal, rho, dt,
             linsys=linsys, integrator_type=integrator_type, drho0=drho0,
+            angle_wrap=angle_wrap, iter_budget=iter_budget,
         )
 
     donate_argnums = (0, 1) if donate else ()

@@ -28,11 +28,26 @@ def trajfile_dir() -> Path:
     return _LOCAL_DIR
 
 
+def _find(fname: str) -> Path:
+    """Resolve per FILE with the trajfile_dir() preference order, falling
+    through to the next directory when the file is absent (the reference
+    ships only the 0_0 eepos trace, track_iiwa_pcg.cu:177; the generated
+    fixture set in data/trajfiles covers the full 5x5 grid)."""
+    env = os.environ.get("MPCGPU_TPU_TRAJDIR")
+    dirs = [Path(env)] if env else []
+    dirs += [_DEFAULT_DIR, _LOCAL_DIR]
+    for d in dirs:
+        p = d / fname
+        if p.is_file():
+            return p
+    return dirs[0] / fname  # let the loader raise with the preferred path
+
+
 def load_xu_traj(name: str = "0_0", dtype=np.float64) -> np.ndarray:
     """(steps, 21) state+control trace."""
-    return np.loadtxt(trajfile_dir() / f"{name}_traj.csv", delimiter=",", dtype=dtype)
+    return np.loadtxt(_find(f"{name}_traj.csv"), delimiter=",", dtype=dtype)
 
 
 def load_eepos_traj(name: str = "0_0", dtype=np.float64) -> np.ndarray:
     """(steps, 6) end-effector goal trace [xyz, rpy]."""
-    return np.loadtxt(trajfile_dir() / f"{name}_eepos.traj", delimiter=",", dtype=dtype)
+    return np.loadtxt(_find(f"{name}_eepos.traj"), delimiter=",", dtype=dtype)

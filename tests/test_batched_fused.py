@@ -1,0 +1,128 @@
+"""Batched fused pipeline (instance-packed lanes + Pallas grid) vs the
+single-instance reference implementations (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpcgpu_tpu.config import CostConfig, PCGConfig, SQPConfig
+from mpcgpu_tpu.models import iiwa14
+from mpcgpu_tpu.ops.schur import compute_dz, form_schur_system
+from mpcgpu_tpu.parallel.batched_fused import (
+    build_kkt_schur_batched, compute_dz_batched, instances_per_program,
+    pack_lanes, pcg_solve_batched_lanes, sqp_solve_batched_fused,
+    unpack_lanes)
+from mpcgpu_tpu.solver.kkt import build_kkt
+from mpcgpu_tpu.utils.trajfiles import load_eepos_traj, load_xu_traj
+
+
+@pytest.fixture(scope="module")
+def problem():
+    B, N = 4, 16
+    dtype = jnp.float32
+    model = iiwa14(dtype=dtype)
+    cost = CostConfig.for_knots(N)
+    xu0 = jnp.asarray(load_xu_traj("0_0")[:N], dtype)
+    ee0 = jnp.asarray(load_eepos_traj("0_0")[:N], dtype)
+    key = jax.random.PRNGKey(0)
+    xu_b = xu0[None] + 0.02 * jax.random.normal(key, (B, N, 21), dtype)
+    ee_b = jnp.broadcast_to(ee0, (B, N, 6))
+    xs_b = xu_b[:, 0, :14]
+    lam_b = jnp.zeros((B, N, 14), dtype)
+    rho_b = jnp.asarray([1e-3, 2e-3, 1e-3, 5e-3], dtype)
+    return model, cost, xu_b, lam_b, xs_b, ee_b, rho_b
+
+
+def test_pack_unpack_roundtrip():
+    x = jnp.arange(4 * 16 * 5).reshape(4, 16, 5).astype(jnp.float32)
+    y = pack_lanes(x, 2, 2)
+    assert y.shape == (2, 5, 32)
+    # instance 1 of group 0 occupies lanes 16..32
+    np.testing.assert_array_equal(np.asarray(y[0, :, 16:]),
+                                  np.asarray(x[1]).T)
+    np.testing.assert_array_equal(np.asarray(unpack_lanes(y, 4, 16)),
+                                  np.asarray(x))
+
+
+def test_batched_kkt_schur_matches_unbatched(problem):
+    model, cost, xu_b, lam_b, xs_b, ee_b, rho_b = problem
+    B, N = xu_b.shape[:2]
+    I = instances_per_program(N, B)
+    assert I >= 2                            # the packing path is exercised
+    lane = build_kkt_schur_batched(model, cost, xu_b, xs_b, ee_b, rho_b,
+                                   1 / 64.0, interpret=True)
+    for b in range(B):
+        kkt = build_kkt(model, cost, xu_b[b], xs_b[b], ee_b[b], 1 / 64.0)
+        schur = form_schur_system(kkt, rho_b[b])
+        g, i = divmod(b, I)
+        sl = slice(i * N, (i + 1) * N)
+        S_ref = np.transpose(np.asarray(schur.S), (1, 2, 3, 0))
+        got = np.asarray(lane["S"][g][:, :, :, sl])
+        scale = float(np.max(np.abs(S_ref)))
+        np.testing.assert_allclose(got, S_ref, atol=5e-5 * scale,
+                                   err_msg=f"S mismatch instance {b}")
+        P_ref = np.transpose(np.asarray(schur.Pinv), (1, 2, 3, 0))
+        np.testing.assert_allclose(
+            np.asarray(lane["Pinv"][g][:, :, :, sl]), P_ref,
+            atol=5e-5 * float(np.max(np.abs(P_ref))),
+            err_msg=f"Pinv mismatch instance {b}")
+        np.testing.assert_allclose(
+            np.asarray(lane["gamma"][g][:, sl]), np.asarray(schur.gamma).T,
+            atol=5e-5 * float(np.max(np.abs(schur.gamma))),
+            err_msg=f"gamma mismatch instance {b}")
+
+
+def test_batched_pcg_matches_single(problem):
+    from mpcgpu_tpu.ops.pcg import pcg_solve
+
+    model, cost, xu_b, lam_b, xs_b, ee_b, rho_b = problem
+    B, N = xu_b.shape[:2]
+    I = instances_per_program(N, B)
+    lane = build_kkt_schur_batched(model, cost, xu_b, xs_b, ee_b, rho_b,
+                                   1 / 64.0, interpret=True)
+    lam_g = pack_lanes(lam_b, B // I, I)
+    # tol well above f32 round-off stagnation: near 1e-8 the eta sequence
+    # hovers at rounding level and the exit iteration becomes chaotic under
+    # any reduction-order change (masked full-lane sums vs vdot)
+    lam_out, iters, conv = pcg_solve_batched_lanes(
+        lane["S"], lane["Pinv"], lane["gamma"], lam_g, N, I,
+        max_iter=120, exit_tol=1e-6, interpret=True)
+    lam_out = unpack_lanes(lam_out, B, N)
+    for b in range(B):
+        kkt = build_kkt(model, cost, xu_b[b], xs_b[b], ee_b[b], 1 / 64.0)
+        schur = form_schur_system(kkt, rho_b[b])
+        ref = pcg_solve(schur.S, schur.Pinv, schur.gamma, lam_b[b],
+                        max_iter=120, exit_tol=1e-6)
+        assert abs(int(iters.reshape(B)[b]) - int(ref.iters)) <= 1, f"instance {b}"
+        assert bool(conv.reshape(B)[b]) == bool(ref.converged)
+        np.testing.assert_allclose(
+            np.asarray(lam_out[b]), np.asarray(ref.lam), atol=5e-4,
+            err_msg=f"lam mismatch instance {b}")
+
+
+def test_batched_fused_sqp_matches_vmap(problem):
+    from mpcgpu_tpu.solver.sqp import sqp_solve
+
+    model, cost, xu_b, lam_b, xs_b, ee_b, rho_b = problem
+    sqp_cfg = SQPConfig(max_iter=3)
+    pcg_cfg = PCGConfig(max_iter=60, exit_tol=1e-6)
+
+    got = sqp_solve_batched_fused(
+        model, cost, sqp_cfg, pcg_cfg, xu_b, lam_b, xs_b, ee_b, rho_b,
+        1 / 64.0, interpret=True)
+
+    ref = jax.vmap(
+        lambda xu, lam, xs, ee, rho: sqp_solve(
+            model, cost, sqp_cfg, pcg_cfg, xu, lam, xs, ee, rho, 1 / 64.0,
+            linsys="pcg")
+    )(xu_b, lam_b, xs_b, ee_b, rho_b)
+
+    # PCG iteration counts may differ by 1 (reduction-order, see above)
+    assert np.abs(np.asarray(got.pcg_iters) - np.asarray(ref.pcg_iters)).max() <= 1
+    np.testing.assert_array_equal(np.asarray(got.ls_alpha_idx),
+                                  np.asarray(ref.ls_alpha_idx))
+    np.testing.assert_allclose(np.asarray(got.xu), np.asarray(ref.xu),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got.rho), np.asarray(ref.rho),
+                               rtol=1e-5)

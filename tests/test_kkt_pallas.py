@@ -51,18 +51,21 @@ def test_terminal_eval_quirk(problem):
                                atol=1e-5, rtol=1e-4)
 
 
-def test_fused_kkt_schur_matches_xla(problem):
-    """build_kkt_schur_pallas == build_kkt + form_schur_system (+ dz kernel)."""
+@pytest.mark.parametrize("integrator_type", [0, 1])
+def test_fused_kkt_schur_matches_xla(problem, integrator_type):
+    """build_kkt_schur_pallas == build_kkt + form_schur_system (+ dz kernel),
+    for both integrators (the semi-implicit branch has distinct dt^2-coupled
+    brbt/bu blocks)."""
     from mpcgpu_tpu.ops.schur import compute_dz, form_schur_system
     from mpcgpu_tpu.solver.kkt_pallas import (
         build_kkt_schur_pallas, compute_dz_pallas)
 
     model, cost, xu, xs, ee = problem
     rho = 1e-3
-    kkt = build_kkt(model, cost, xu, xs, ee, 1 / 64.0)
+    kkt = build_kkt(model, cost, xu, xs, ee, 1 / 64.0, integrator_type)
     schur = form_schur_system(kkt, rho)
     out = build_kkt_schur_pallas(model, cost, xu, xs, ee, rho, 1 / 64.0,
-                                 interpret=True)
+                                 integrator_type, interpret=True)
     np.testing.assert_allclose(
         np.asarray(out["S"]), np.transpose(np.asarray(schur.S), (1, 2, 3, 0)),
         atol=5e-5 * float(np.max(np.abs(schur.S))))

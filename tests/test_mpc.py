@@ -141,3 +141,50 @@ def test_plant_pallas_matches_xla_scan():
     a2 = _simulate_plant(model, a1, plan, 1e-3, 1e-3, 1 / 64.0, 10, 2e-4)
     a = _simulate_plant(model, xs, plan, 0.0, 2e-3, 1 / 64.0, 10, 2e-4)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(a2))
+
+
+def test_ondevice_adaptive_frequency_sim():
+    """Adaptive-frequency (non-const-update-freq) mode of the on-device sim:
+    solve time modeled as per_iter_us * sqp_iters (mpcsim.cuh:280-288
+    equivalent — see _ondevice_scan_adaptive)."""
+    from mpcgpu_tpu.sim.mpc import simulate_mpc_ondevice
+
+    model = iiwa14(dtype=jnp.float32)
+    xu_traj = load_xu_traj("0_0")[:30]
+    ee_traj = load_eepos_traj("0_0")[:30]
+    out = simulate_mpc_ondevice(
+        model, xu_traj, ee_traj, 16, 1 / 64.0,
+        sqp_cfg=SQPConfig(max_iter=2),
+        pcg_cfg=PCGConfig(max_iter=60, exit_tol=1e-6),
+        sim_cfg=SimConfig(const_update_freq=False, max_control_updates=600),
+        linsys="pcg",
+        per_iter_us=4000.0,   # modeled: ~4 ms per SQP iteration
+    )
+    assert out["control_updates"] > 10
+    errs = np.asarray(out["tracking_errors"])
+    assert errs.size >= 3 and np.isfinite(errs).all()
+    assert float(errs.mean()) < 0.2
+    # modeled sim times are multiples of per_iter_us scaled by sqp_iters
+    st = np.asarray(out["sim_times_us"])
+    it = np.asarray(out["sqp_iters"])
+    np.testing.assert_allclose(st, 4000.0 * it, rtol=1e-5)
+
+
+def test_time_budget_ondevice():
+    """On-device time budget: max_time_us becomes a traced iteration cap;
+    solves stay single-dispatch (sqpTimecheck equivalent)."""
+    model = iiwa14(dtype=jnp.float32)
+    xu_traj = load_xu_traj("0_0")[:40]
+    ee_traj = load_eepos_traj("0_0")[:40]
+    stats = simulate_mpc(
+        model, xu_traj, ee_traj, knot_points=16, timestep=1 / 64.0,
+        sqp_cfg=SQPConfig(max_iter=8, max_time_us=10_000_000.0),
+        pcg_cfg=PCGConfig(max_iter=60, exit_tol=1e-6),
+        sim_cfg=SimConfig(max_control_updates=10, time_budget_mode=True),
+        linsys="pcg",
+    )
+    s = stats.summary()
+    assert s["control_updates"] == 10
+    # huge budget -> cap = max_iter; solver actually iterates
+    assert max(stats.sqp_iters) >= 1
+    assert np.isfinite(s["avg_tracking_error"])

@@ -50,3 +50,43 @@ def test_pallas_pcg_solves_system():
     np.testing.assert_allclose(
         np.asarray(got.lam).ravel(), dense, atol=1e-4
     )
+
+
+def test_rnorm_exit_criterion():
+    """'rnorm' exits on ||r||_2 < tol (reference/GBD-PCG semantics, SURVEY C17)
+    and agrees between the while_loop and pallas implementations."""
+    S, P, gamma, lam0 = _make_system(N=32, n=14, seed=5)
+    tol = 1e-4
+    ref = pcg_solve(S, P, gamma, lam0, max_iter=300, exit_tol=tol,
+                    exit_criterion="rnorm")
+    got = pcg_solve_pallas(S, P, gamma, lam0, max_iter=300, exit_tol=tol,
+                           exit_criterion="rnorm", interpret=True)
+    assert bool(ref.converged) and bool(got.converged)
+    assert int(got.iters) == int(ref.iters)
+    # the residual at exit really satisfies the 2-norm test
+    r = np.asarray(gamma, np.float64).ravel() - (
+        np.asarray(btd_to_dense(S), np.float64)
+        @ np.asarray(ref.lam, np.float64).ravel())
+    assert np.linalg.norm(r) < tol
+    # eta-criterion run at the same tol exits at a DIFFERENT iterate in
+    # general (different metric) — just check both solve the system
+    np.testing.assert_allclose(np.asarray(got.lam), np.asarray(ref.lam),
+                               atol=1e-5)
+
+
+def test_rnorm_exit_criterion_sharded():
+    """Knot-sharded PCG honors the rnorm criterion (psum'd r.r)."""
+    from jax.sharding import Mesh
+    from mpcgpu_tpu.parallel.pcg_sharded import pcg_solve_sharded
+
+    S, P, gamma, lam0 = _make_system(N=32, n=14, seed=7)
+    devs = np.array(jax.devices()[:4]).reshape(4)
+    mesh = Mesh(devs, ("knot",))
+    tol = 1e-4
+    ref = pcg_solve(S, P, gamma, lam0, max_iter=300, exit_tol=tol,
+                    exit_criterion="rnorm")
+    got = pcg_solve_sharded(S, P, gamma, lam0, mesh, max_iter=300,
+                            exit_tol=tol, exit_criterion="rnorm")
+    assert int(got.iters) == int(ref.iters)
+    np.testing.assert_allclose(np.asarray(got.lam), np.asarray(ref.lam),
+                               atol=1e-5)

@@ -12,8 +12,11 @@ framework runs standalone when the reference checkout is absent:
      dynamically consistent (x, u) trace (defect ~ integrator truncation),
   3. write the FK ee pose of the reference joint path as the goal trace.
 
-Writes data/trajfiles/0_0_traj.csv and 0_0_eepos.traj.  Loader preference
-order stays: $MPCGPU_TPU_TRAJDIR > data/trajfiles > /root/reference.
+Writes data/trajfiles/{s}_{g}_traj.csv and {s}_{g}_eepos.traj for every
+start/goal pair requested (default: the full 5x5 grid the reference driver
+iterates, track_iiwa_pcg.cu:39-44).  Loader preference order (per file):
+$MPCGPU_TPU_TRAJDIR > /root/reference trajfiles > data/trajfiles
+(utils/trajfiles.py::_find).
 """
 
 import sys
@@ -35,12 +38,33 @@ SUBSTEPS = 78           # ~2e-4 s plant substeps, like the reference plant
                         # (integrator.cuh:304, sim_step_time)
 
 
-def main():
-    model = iiwa14(dtype=jnp.float64)
+# the reference records 5 workspace poses and runs the 5x5 start/goal grid
+# skipping start == goal != 0 (track_iiwa_pcg.cu:30-43) -> 21 pairs
+RECORDED_POSES = np.array([
+    [0.0, 0.6, 0.0, -1.2, 0.0, 0.8, 0.0],
+    [0.8, 1.0, 0.4, -0.8, 0.3, 1.4, 0.5],
+    [-0.6, 0.4, -0.3, -1.5, 0.4, 0.6, -0.4],
+    [0.4, 1.2, -0.5, -0.6, -0.3, 1.1, 0.8],
+    [-0.3, 0.8, 0.6, -1.0, 0.5, 1.3, -0.6],
+])
+
+
+def grid_pairs():
+    """(start, goal) pairs of the reference's 5x5 loop with its skip rule."""
+    for ind in range(25):
+        s, g = ind % 5, ind // 5
+        if s == g and s != 0:
+            continue
+        yield s, g
+
+
+def make_pair(model, start: int, goal: int):
     nq = model.nq
 
-    q0 = np.array([0.0, 0.6, 0.0, -1.2, 0.0, 0.8, 0.0])
-    q1 = np.array([0.8, 1.0, 0.4, -0.8, 0.3, 1.4, 0.5])
+    q0 = RECORDED_POSES[start]
+    # goal == start only happens for 0_0 (skip rule); keep the original 0_0
+    # fixture semantics: a pose-0 -> pose-1 sweep
+    q1 = RECORDED_POSES[goal] if goal != start else RECORDED_POSES[(start + 1) % 5]
     t = np.linspace(0.0, 1.0, STEPS)
     blend = 3 * t**2 - 2 * t**3                      # smooth-step
     q_ref = q0[None, :] + blend[:, None] * (q1 - q0)[None, :]
@@ -48,20 +72,20 @@ def main():
 
     fk = jax.jit(jax.vmap(lambda q: dynamics.fk_ee(model, q)))
     ee_ref = np.asarray(fk(jnp.asarray(q_ref)))
+    return q_ref, qd_ref, ee_ref
 
-    # PD + feedforward inverse-dynamics tracking of the joint path,
-    # rolled out as one jitted scan over knots (substeps in a fori_loop).
-    # Torques are zero-order-held over a whole knot (64 Hz), so gains must be
-    # scaled per joint by its inertia: wn = 8 rad/s critically damped keeps
-    # h_knot * kd_j / m_j well under the discrete stability bound.
-    m_diag = np.diag(np.asarray(dynamics.mass_matrix(model, jnp.asarray(q_ref[0]))))
-    wn = 8.0
-    kp = jnp.asarray(wn * wn * m_diag)
-    kd = jnp.asarray(2.0 * wn * m_diag)
+
+def _make_rollout(model, nq):
+    """PD + feedforward inverse-dynamics tracking of a joint path, rolled out
+    as one jitted scan over knots (substeps in a fori_loop).  Torques are
+    zero-order-held over a whole knot (64 Hz), so gains must be scaled per
+    joint by its inertia: wn = 8 rad/s critically damped keeps h_knot * kd_j
+    / m_j well under the discrete stability bound."""
     h = DT / SUBSTEPS
+    wn = 8.0
 
     @jax.jit
-    def rollout(q0v, qrefs, qdrefs):
+    def rollout(q0v, qrefs, qdrefs, kp, kd):
         def knot(carry, ref):
             q, qd = carry
             qr, qdr = ref
@@ -82,15 +106,40 @@ def main():
             knot, (q0v, jnp.zeros(nq)), (qrefs, qdrefs))
         return rows
 
-    rows = np.asarray(rollout(jnp.asarray(q_ref[0]), jnp.asarray(q_ref),
-                              jnp.asarray(qd_ref)))
+    def run(q_ref, qd_ref):
+        m_diag = np.diag(np.asarray(
+            dynamics.mass_matrix(model, jnp.asarray(q_ref[0]))))
+        kp = jnp.asarray(wn * wn * m_diag)
+        kd = jnp.asarray(2.0 * wn * m_diag)
+        return np.asarray(rollout(jnp.asarray(q_ref[0]), jnp.asarray(q_ref),
+                                  jnp.asarray(qd_ref), kp, kd))
+
+    return run
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", nargs="*", default=None,
+                    help="s_g pairs to generate (default: full reference grid)")
+    args = ap.parse_args()
+
+    model = iiwa14(dtype=jnp.float64)
+    nq = model.nq
+    run = _make_rollout(model, nq)
+    pairs = ([tuple(map(int, p.split("_"))) for p in args.pairs]
+             if args.pairs else list(grid_pairs()))
 
     OUT.mkdir(parents=True, exist_ok=True)
-    np.savetxt(OUT / "0_0_traj.csv", np.asarray(rows), delimiter=",", fmt="%.10g")
-    np.savetxt(OUT / "0_0_eepos.traj", ee_ref, delimiter=",", fmt="%.10g")
-    err = np.abs(np.asarray(rows)[-1][:nq] - q_ref[-1]).max()
-    print(f"wrote {OUT}/0_0_traj.csv + 0_0_eepos.traj "
-          f"({STEPS} rows, final joint tracking err {err:.2e})")
+    for s, g in pairs:
+        q_ref, qd_ref, ee_ref = make_pair(model, s, g)
+        rows = run(q_ref, qd_ref)
+        np.savetxt(OUT / f"{s}_{g}_traj.csv", rows, delimiter=",", fmt="%.10g")
+        np.savetxt(OUT / f"{s}_{g}_eepos.traj", ee_ref, delimiter=",", fmt="%.10g")
+        err = np.abs(rows[-1][:nq] - q_ref[-1]).max()
+        print(f"wrote {s}_{g}_traj.csv + {s}_{g}_eepos.traj "
+              f"({STEPS} rows, final joint tracking err {err:.2e})")
 
 
 if __name__ == "__main__":
