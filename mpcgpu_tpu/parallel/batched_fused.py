@@ -138,11 +138,12 @@ def build_kkt_schur_batched(
 
     def gridded(xu_ref, xeval_ref, goal_ref, rho_ref, dt_ref, *rest):
         model_refs = rest[:7]
-        out_refs = rest[7:]
+        out_refs = rest[7:14]
+        scratch = rest[14:]                  # CRBA launder scratch (L > 128)
         # squeeze the leading group dim of each blocked ref
         sq = lambda r: _SqueezeRef(r)
         kernel(sq(xu_ref), sq(xeval_ref), sq(goal_ref), sq(rho_ref), dt_ref,
-               *model_refs, *[sq(o) for o in out_refs])
+               *model_refs, *[sq(o) for o in out_refs], *scratch)
 
     S, P, gamma, Qinv, A, Bm, qv = pl.pallas_call(
         gridded,
@@ -158,6 +159,8 @@ def build_kkt_schur_batched(
         ),
         in_specs=grid_in,
         out_specs=grid_out,
+        scratch_shapes=(
+            [pltpu.VMEM((nq, 6, L), dtype)] if L > 128 else []),
         interpret=interpret,
     )(xu_l, xeval_l, goal_l, rho_l, dt_arr,
       model.xc, model.xs, model.xcos, model.inertia,

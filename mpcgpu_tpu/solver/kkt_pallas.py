@@ -241,9 +241,18 @@ def _mmn(Ma, Mb, n):
     return jnp.stack(cols, axis=1)
 
 
+def _mv6_T(M, v):
+    """M^T @ v for M (6,6,B), v (6,B)."""
+    acc = M[0, :, :] * v[0:1, :]
+    for j in range(1, 6):
+        acc = acc + M[j, :, :] * v[j : j + 1, :]
+    return acc
+
+
 def _kkt_core(xu_ref, xeval_ref, goal_ref, dt,
               xc_ref, xsin_ref, xcos_ref, I_ref, hc_ref, hsin_ref, hcos_ref,
-              nq, N, integrator_type, gravity, qd_cost, angle_wrap=False):
+              nq, N, integrator_type, gravity, qd_cost, angle_wrap=False,
+              crba_scr=None):
     """Traced core shared by the KKT and KKT+Schur kernels; returns the
     lane-packed blocks (Amat, Bmat, Qmat, grad, xnext, Minv, qdd, dqdd)."""
     nx = 2 * nq
@@ -341,19 +350,42 @@ def _kkt_core(xu_ref, xeval_ref, goal_ref, dt,
     IC = [jnp.broadcast_to(I_ref[k][:, :, None], (6, 6, N)) for k in range(nq)]
     for k in range(nq - 1, 0, -1):
         IC[k - 1] = IC[k - 1] + _mm6_T(X[k], _mmn(IC[k], X[k], 6))
-    F = jnp.zeros((6, nq, N), xu.dtype)
-    rows = [None] * nq
-    coln = jax.lax.broadcasted_iota(jnp.int32, (6, nq, N), 1)
-    for j in range(nq - 1, -1, -1):
-        F = jnp.where(coln == j, jnp.broadcast_to(IC[j][:, 2, :][:, None, :], F.shape), F)
-        rows[j] = F[2]                                # (nq, N): M[j, k] for k >= j
-        if j > 0:
-            F = _mm6_T(X[j], F)
-    Mupper = jnp.stack(rows, axis=0)                  # (nq, nq, N) upper (row<=col)
-    rown = jax.lax.broadcasted_iota(jnp.int32, (nq, nq, N), 0)
-    colnn = jax.lax.broadcasted_iota(jnp.int32, (nq, nq, N), 1)
-    MuT = jnp.stack([Mupper[:, i, :] for i in range(nq)], axis=0)  # transpose01
-    M = jnp.where(rown <= colnn, Mupper, MuT)
+    if crba_scr is not None:
+        # >128-lane path: interleaving slices of the accumulated IC with the
+        # F-matrix where/propagate loop aborts Mosaic on multi-lane-vreg
+        # tiles (empirically bisected; "limits[i] <= dim(i)").  LAUNDER the
+        # IC z-columns through a VMEM scratch store/reload — a clean layout
+        # provenance — and build M by per-column matvec propagation
+        # (same math: M[j,k] = e_z^T X_{j+1}^T..X_k^T IC_k e_z for j <= k).
+        for k in range(nq):
+            crba_scr[k] = IC[k][:, 2, :]
+        Mrows = [[None] * nq for _ in range(nq)]
+        for k in range(nq):
+            v = crba_scr[k]                           # (6, N) relaid
+            Mrows[k][k] = v[2:3, :]
+            for j in range(k - 1, -1, -1):
+                v = _mv6_T(X[j + 1], v)
+                Mrows[j][k] = v[2:3, :]
+        for j in range(nq):
+            for k in range(j):
+                Mrows[j][k] = Mrows[k][j]
+        M = jnp.concatenate(
+            [jnp.concatenate(Mrows[j], axis=0)[None] for j in range(nq)],
+            axis=0)                                   # (nq, nq, N)
+    else:
+        F = jnp.zeros((6, nq, N), xu.dtype)
+        rows = [None] * nq
+        coln = jax.lax.broadcasted_iota(jnp.int32, (6, nq, N), 1)
+        for j in range(nq - 1, -1, -1):
+            F = jnp.where(coln == j, jnp.broadcast_to(IC[j][:, 2, :][:, None, :], F.shape), F)
+            rows[j] = F[2]                            # (nq, N): M[j, k] for k >= j
+            if j > 0:
+                F = _mm6_T(X[j], F)
+        Mupper = jnp.stack(rows, axis=0)              # (nq, nq, N) upper (row<=col)
+        rown = jax.lax.broadcasted_iota(jnp.int32, (nq, nq, N), 0)
+        colnn = jax.lax.broadcasted_iota(jnp.int32, (nq, nq, N), 1)
+        MuT = jnp.stack([Mupper[:, i, :] for i in range(nq)], axis=0)  # transpose01
+        M = jnp.where(rown <= colnn, Mupper, MuT)
     Minv = _gj_inverse_lanes(M, nq)                   # (nq, nq, N)
 
     # bias + qdd
@@ -451,17 +483,21 @@ def _kkt_core(xu_ref, xeval_ref, goal_ref, dt,
 
 def _make_kkt_kernel(nq: int, N: int, integrator_type: int, gravity: float,
                      qd_cost: float, debug_stage: int = 99,
-                     angle_wrap: bool = False):
+                     angle_wrap: bool = False, launder: bool = False):
     """debug_stage < 99 truncates the kernel after that stage (zeros for the
-    remaining outputs) — a Mosaic-crash bisection aid; not a public knob."""
+    remaining outputs) — a Mosaic-crash bisection aid; not a public knob.
+    launder=True adds a VMEM scratch operand and reroutes the CRBA through
+    it (required beyond 128 lanes, see _kkt_core)."""
 
     def kernel(xu_ref, xeval_ref, goal_ref, dt_ref,
                xc_ref, xsin_ref, xcos_ref, I_ref, hc_ref, hsin_ref, hcos_ref,
-               A_ref, Bm_ref, Q_ref, qv_ref, xnext_ref, minv_ref):
+               A_ref, Bm_ref, Q_ref, qv_ref, xnext_ref, minv_ref,
+               *scratch):
         Amat, Bmat, Qmat, grad, xnext, Minv, qdd, dqdd = _kkt_core(
             xu_ref, xeval_ref, goal_ref, dt_ref[0],
             xc_ref, xsin_ref, xcos_ref, I_ref, hc_ref, hsin_ref, hcos_ref,
-            nq, N, integrator_type, gravity, qd_cost, angle_wrap)
+            nq, N, integrator_type, gravity, qd_cost, angle_wrap,
+            crba_scr=scratch[0] if launder else None)
         if debug_stage < 99:
             z = [jnp.zeros_like(Amat), jnp.zeros_like(Bmat), jnp.zeros_like(Qmat),
                  jnp.zeros_like(grad), jnp.zeros_like(xnext), jnp.zeros_like(Minv)]
@@ -524,9 +560,11 @@ def build_kkt_pallas(
     goal_l = ee_goal[:, :3].T                             # (3, N)
     dt_arr = jnp.asarray([dt], dtype)
 
+    launder = N > 128
     A_l, B_l, Q_l, q_l, xnext_l, minv_l = pl.pallas_call(
         _make_kkt_kernel(nq, N, integrator_type, float(model.gravity),
-                         float(cost.qd_cost), _debug_stage, angle_wrap),
+                         float(cost.qd_cost), _debug_stage, angle_wrap,
+                         launder),
         out_shape=(
             jax.ShapeDtypeStruct((nx, nx, N), dtype),
             jax.ShapeDtypeStruct((nx, nq, N), dtype),
@@ -539,6 +577,8 @@ def build_kkt_pallas(
         + [pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)),
+        scratch_shapes=(
+            [pltpu.VMEM((nq, 6, N), dtype)] if launder else []),
         interpret=interpret,
     )(xu_l, xeval_l, goal_l, dt_arr,
       model.xc, model.xs, model.xcos, model.inertia,
@@ -615,10 +655,12 @@ def _make_kkt_schur_kernel(nq: int, N: int, integrator_type: int,
     masks are zero — the same trick as the ring halo in pcg_sharded.py."""
     nx = 2 * nq
     knots = N if knots is None else knots
+    launder = N > 128
 
     def kernel(xu_ref, xeval_ref, goal_ref, rho_ref, dt_ref,
                xc_ref, xsin_ref, xcos_ref, I_ref, hc_ref, hsin_ref, hcos_ref,
-               S_ref, P_ref, gam_ref, Qinv_ref, A_ref, Bm_ref, qv_ref):
+               S_ref, P_ref, gam_ref, Qinv_ref, A_ref, Bm_ref, qv_ref,
+               *scratch):
         dt = dt_ref[0]
         # rho rides a (1, N) VMEM row (an SMEM scalar cannot carry a vmap
         # batch dim; this layout keeps the kernel vmappable per instance)
@@ -627,7 +669,8 @@ def _make_kkt_schur_kernel(nq: int, N: int, integrator_type: int,
         Amat, Bmat, Qmat, grad, xnext, Minv, qdd, dqdd = _kkt_core(
             xu_ref, xeval_ref, goal_ref, dt,
             xc_ref, xsin_ref, xcos_ref, I_ref, hc_ref, hsin_ref, hcos_ref,
-            nq, N, integrator_type, gravity, qd_cost, angle_wrap)
+            nq, N, integrator_type, gravity, qd_cost, angle_wrap,
+            crba_scr=scratch[0] if launder else None)
         dtype = Amat.dtype
         u = xu_ref[nx : nx + nq, :]
         x_cur = xu_ref[0:nx, :]
@@ -643,7 +686,31 @@ def _make_kkt_schur_kernel(nq: int, N: int, integrator_type: int,
 
         s_r = 1.0 / (r_cost + rho_row)                # (R+rho I)^{-1}, (1, N)
         s_r3 = s_r[None]                              # (1, 1, N)
-        Qinv = _gj_inverse_lanes(Qmat + rho3 * eyex, nx)
+        # (Q + rho I)^{-1} in CLOSED FORM: the ee-mode cost Hessian is the
+        # rank-1 Gauss-Newton outer product gq gq^T on the position block
+        # and (qd_cost) I on the velocity block (iiwa_eepos_plant.cuh:
+        # 295-378), so Sherman-Morrison gives
+        #   (rho I + gq gq^T)^{-1} = (1/rho)(I - gq gq^T / (rho + |gq|^2))
+        # exactly — ~10 lane ops instead of an unrolled 28x28 inverse (the
+        # reference Gauss-Jordans the full block, pcg/linsys_setup.cuh:
+        # 357-369; the math is identical).
+        gq = grad[0:nq, :]                            # (nq, N)
+        gq2 = gq[0:1, :] * gq[0:1, :]
+        for _i in range(1, nq):
+            gq2 = gq2 + gq[_i : _i + 1, :] * gq[_i : _i + 1, :]
+        inv_rho = 1.0 / rho_row                       # (1, N)
+        sm = inv_rho / (rho_row + gq2)                # (1, N)
+        qq = gq[:, None, :] * gq[None, :, :]          # (nq, nq, N)
+        eyeq3 = (jax.lax.broadcasted_iota(jnp.int32, (nq, nq, N), 0)
+                 == jax.lax.broadcasted_iota(jnp.int32, (nq, nq, N), 1)
+                 ).astype(dtype)
+        q_tl = inv_rho[None] * eyeq3 - sm[None] * qq  # (nq, nq, N)
+        s_qd = 1.0 / (qd_cost + rho_row)              # (1, N)
+        zq = jnp.zeros((nq, nq, N), dtype)
+        Qinv = jnp.concatenate([
+            jnp.concatenate([q_tl, zq], axis=1),
+            jnp.concatenate([zq, s_qd[None] * eyeq3], axis=1),
+        ], axis=0)                                    # (nx, nx, N)
 
         AQ = _mmn(Amat, Qinv, nx)                     # A_k Qr_k^{-1} at lane k
         AQAT = _mmn_bt(AQ, Amat, nx)
@@ -751,6 +818,8 @@ def build_kkt_schur_pallas(
         + [pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(7)),
+        scratch_shapes=(
+            [pltpu.VMEM((nq, 6, N), dtype)] if N > 128 else []),
         interpret=interpret,
     )(xu.T, x_eval.T, ee_goal[:, :3].T, rho_row, dt_arr,
       model.xc, model.xs, model.xcos, model.inertia,

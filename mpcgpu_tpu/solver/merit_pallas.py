@@ -262,15 +262,29 @@ def line_search_merits_pallas(
 
     dt_arr = jnp.asarray([dt], dtype)
 
+    # beyond ~2304 lanes one program exhausts compile resources (N=512 x 9
+    # alphas = 4608); split the alpha axis across a Pallas grid — block
+    # boundaries fall between alphas, where the defect roll is masked by the
+    # k = N-1 term anyway, so per-block evaluation is exact
+    ga = A
+    while ga > 1 and (ga * N > 2304 or A % ga):
+        ga -= 1
+    GA = A // ga
+    Bl = ga * N
+
     out = pl.pallas_call(
-        _make_merit_kernel(nq, N, A, integrator_type, float(model.gravity),
+        _make_merit_kernel(nq, N, ga, integrator_type, float(model.gravity),
                            float(cost.qd_cost), float(cost.r_cost),
                            angle_wrap),
+        grid=(GA,),
         out_shape=jax.ShapeDtypeStruct((2, B), dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        in_specs=[
+            pl.BlockSpec((w, Bl), lambda g: (0, g)),
+            pl.BlockSpec((3, Bl), lambda g: (0, g)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((2, Bl), lambda g: (0, g)),
         interpret=interpret,
     )(cand_l, goal_l, dt_arr,
       model.xc, model.xs, model.xcos, model.inertia,

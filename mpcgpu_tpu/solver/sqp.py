@@ -98,13 +98,16 @@ def sqp_solve(
         use_pallas = jax.default_backend() == "tpu" and cost.mode == "ee"
     else:
         use_pallas = merit_impl == "pallas"
-    # Mosaic kernel-validated lane ranges (a "limits[i] <= dim(i)" compiler
-    # abort appears once certain (c, 1, N) broadcast patterns span multiple
-    # lane vregs): KKT/Schur kernels hold to N=128, the merit kernel to
-    # 9*N=2304 lanes; the PCG kernel is verified through N=512. Beyond the
-    # range, the XLA twins take over.
-    use_pallas_kkt = use_pallas and N <= 128
-    use_pallas_merit = use_pallas and (sqp_cfg.num_alphas + 1) * N <= 2304
+    # Mosaic lane-range notes: beyond 128 lanes the KKT/Schur kernels switch
+    # to the scratch-laundered CRBA + Sherman-Morrison Qinv + scalar-row
+    # Cholesky theta-inverse formulation (see kkt_pallas._kkt_core) — the
+    # original where/broadcast patterns abort the compiler there. Validated
+    # through N=512. The merit kernel holds to 9*N=2304 lanes; the PCG
+    # kernel is verified through N=512. Beyond a range, XLA twins take over.
+    use_pallas_kkt = use_pallas and N <= 512
+    # merit kernel splits the alpha axis over a Pallas grid beyond 2304
+    # lanes (merit_pallas.py); a single alpha's N lanes must still fit
+    use_pallas_merit = use_pallas and N <= 2304
     interpret = jax.default_backend() != "tpu"
     # fully-fused kernel pipeline: KKT+Schur+stair in one kernel emitting the
     # PCG kernel's lane layout directly, then lane-layout PCG, then dz kernel
