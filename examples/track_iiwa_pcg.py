@@ -37,6 +37,10 @@ def main():
                          "its skip rule (track_iiwa_pcg.cu:30-43) instead of "
                          "a single --traj pair")
     ap.add_argument("--tols", type=float, nargs="*", default=None)
+    ap.add_argument("--exit-criterion", default="eta", choices=["eta", "rnorm"],
+                    help="PCG exit metric: 'eta' = |r.P^-1 r| < tol (default), "
+                         "'rnorm' = ||r|| < tol (reference/GBD-PCG semantics; "
+                         "the reference tolerance tables transfer directly)")
     ap.add_argument("--test-iters", type=int, default=1)
     ap.add_argument("--save", action="store_true")
     ap.add_argument("--outdir", default="results")
@@ -79,7 +83,7 @@ def main():
         for tol in tols:
             scfg = SQPConfig(max_iter=2, max_time_us=None)
             pcfg = PCGConfig(max_iter=PCGConfig.tuned_max_iter(args.knots),
-                             exit_tol=tol)
+                             exit_tol=tol, exit_criterion=args.exit_criterion)
             dev = simulate_mpc_ondevice(model, xu_traj, ee_traj, args.knots,
                                         1.0 / 64.0, sqp_cfg=scfg, pcg_cfg=pcfg)
             jax.block_until_ready(dev["final_tracking_error"])
@@ -111,7 +115,9 @@ def main():
                     knot_points=args.knots,
                     timestep=1.0 / 64.0,
                     sqp_cfg=SQPConfig(),
-                    pcg_cfg=PCGConfig(max_iter=PCGConfig.tuned_max_iter(args.knots), exit_tol=tol),
+                    pcg_cfg=PCGConfig(max_iter=PCGConfig.tuned_max_iter(args.knots),
+                                      exit_tol=tol,
+                                      exit_criterion=args.exit_criterion),
                     sim_cfg=SimConfig(),
                     linsys="pcg",
                     verbose=args.verbose,
