@@ -116,6 +116,49 @@ def main():
             model, cost, xu + t, xs, ee, mu, DT, include_x0=False) * 0.0,
         jnp.asarray(0.0, dtype), K=K)
 
+    if jax.default_backend() == "tpu":
+        # the PRODUCTION fused-kernel stages (what sqp_solve actually runs)
+        from mpcgpu_tpu.ops.pcg_pallas import pcg_solve_pallas_lanes
+        from mpcgpu_tpu.solver.kkt_pallas import (
+            build_kkt_schur_pallas, compute_dz_pallas)
+        from mpcgpu_tpu.solver.merit_pallas import line_search_merits_pallas
+
+        # NOTE (axon remote-compile sharp edge): a program whose RESULTS are
+        # (foldably) the raw pallas outputs fails to compile — outputs must
+        # be consumed by real ops.  Scale by a runtime scalar to stop XLA
+        # folding the consumption away.
+        @jax.jit
+        def _lane_fn(xu_, rho_, t):
+            out = build_kkt_schur_pallas(model, cost, xu_, xs, ee, rho_, DT)
+            return {k: v * (1.0 + t) for k, v in out.items()}
+
+        lane = _lane_fn(xu, rho, jnp.asarray(0.0, dtype))
+        jax.block_until_ready(lane["S"])
+        timeit_looped(
+            "FUSED kkt+schur+stair kernel",
+            lambda t: sum(
+                v.sum() for v in build_kkt_schur_pallas(
+                    model, cost, xu + t, xs, ee, rho, DT).values()) * 0.0,
+            jnp.asarray(0.0, dtype), K=K)
+        t = timeit_looped(
+            f"FUSED pcg lanes ({args.pcg_iters} iters forced)",
+            lambda tk: (lambda r: (r.lam.sum() + r.iters + r.converged) * 0.0)(
+                pcg_solve_pallas_lanes(
+                    lane["S"], lane["Pinv"], lane["gamma"] + tk, lam.T,
+                    max_iter=args.pcg_iters, exit_tol=0.0)),
+            jnp.asarray(0.0, dtype), K=K)
+        print(f"    -> {t / args.pcg_iters:.2f} us/iter")
+        timeit_looped(
+            "FUSED dz kernel",
+            lambda t: compute_dz_pallas(
+                lane, lam_sol + t, xu[:, 14:], rho, cost.r_cost)[0, 0] * 0.0,
+            jnp.asarray(0.0, dtype), K=K)
+        timeit_looped(
+            "FUSED merit kernel (9 candidates)",
+            lambda t: line_search_merits_pallas(
+                model, cost, xu + t, dz, xs, ee, mu, DT)[0][0] * 0.0,
+            jnp.asarray(0.0, dtype), K=K)
+
 
 if __name__ == "__main__":
     main()
