@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--knots", type=int, default=32)
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--traj", default="0_0")
+    ap.add_argument("--grid", action="store_true",
+                    help="iterate the reference's 5x5 start/goal grid with "
+                         "its skip rule (track_iiwa_pcg.cu:30-43)")
     ap.add_argument("--test-iters", type=int, default=1)
     ap.add_argument("--save", action="store_true")
     ap.add_argument("--outdir", default="results")
@@ -30,31 +33,36 @@ def main():
     args = ap.parse_args()
 
     model = iiwa14(dtype=jnp.float32)
-    xu_traj = load_xu_traj(args.traj)
-    ee_traj = load_eepos_traj(args.traj)
-    if args.steps:
-        if args.steps <= args.knots:
-            ap.error(f"--steps ({args.steps}) must exceed --knots ({args.knots})")
-        xu_traj, ee_traj = xu_traj[: args.steps], ee_traj[: args.steps]
+    traj_names = ([f"{i % 5}_{i // 5}" for i in range(25)
+                   if not (i % 5 == i // 5 and i % 5 != 0)]
+                  if args.grid else [args.traj])
 
-    print(f"knots={args.knots} steps={len(xu_traj)} solver=LDL^T (qdldl-equivalent)")
+    print(f"knots={args.knots} solver=LDL^T (qdldl-equivalent) pairs={traj_names}")
     rows = []
-    for it in range(args.test_iters):
-        stats = simulate_mpc(
-            model, xu_traj, ee_traj,
-            knot_points=args.knots,
-            timestep=1.0 / 64.0,
-            sqp_cfg=SQPConfig(),
-            sim_cfg=SimConfig(),
-            linsys="ldl",
-            verbose=args.verbose,
-        )
-        s = stats.summary()
-        rows.append(s)
-        print(s)
-        print_stats(stats.sqp_times_us, "sqp solve time (us)")
-        if args.save:
-            dump_tracking_data(args.outdir, f"qdldl_{args.knots}", stats, it)
+    for name in traj_names:
+        xu_traj = load_xu_traj(name)
+        ee_traj = load_eepos_traj(name)
+        if args.steps:
+            if args.steps <= args.knots:
+                ap.error(f"--steps ({args.steps}) must exceed --knots ({args.knots})")
+            xu_traj, ee_traj = xu_traj[: args.steps], ee_traj[: args.steps]
+        for it in range(args.test_iters):
+            stats = simulate_mpc(
+                model, xu_traj, ee_traj,
+                knot_points=args.knots,
+                timestep=1.0 / 64.0,
+                sqp_cfg=SQPConfig(),
+                sim_cfg=SimConfig(),
+                linsys="ldl",
+                verbose=args.verbose,
+            )
+            s = stats.summary()
+            s["traj"] = name
+            rows.append(s)
+            print(name, s)
+            print_stats(stats.sqp_times_us, "sqp solve time (us)")
+            if args.save:
+                dump_tracking_data(args.outdir, f"qdldl_{args.knots}_{name}", stats, it)
     if args.save:
         write_overall_stats_csv(f"{args.outdir}/qdldl_{args.knots}_overall_stats.csv", rows)
 

@@ -775,12 +775,74 @@ def simulate_mpc_ondevice_batched(
     )
 
 
+def _ondevice_scan_batched_fused(model, cost, sqp_cfg, pcg_cfg, timestep,
+                                 period_s, n_sub, sim_step,
+                                 xu0_b, lam0_b, xs0_b, ee0_b, rho0_b,
+                                 shift_flags, tails, goal_tails, offsets):
+    """Scenario-parallel closed loop on the GRIDDED fused pipeline: every
+    scan step solves all B instances through parallel/batched_fused.py
+    (instances packed on lanes) instead of a vmapped unfused solve."""
+    from mpcgpu_tpu.parallel.batched_fused import sqp_solve_batched_fused
+
+    nq = lam0_b.shape[-1] // 2
+    nx = lam0_b.shape[-1]
+    plant = _plant_fn()
+    dtype = xu0_b.dtype
+
+    def step(carry, inp):
+        xu, xu_old, lam, xs, ee_goal, rho = carry
+        do_shift, tail, goal_tail, t_off = inp
+
+        res = sqp_solve_batched_fused(
+            model, cost, sqp_cfg, pcg_cfg, xu, lam, xs, ee_goal, rho,
+            timestep)
+        xu_n, lam_n, rho_n = res.xu, res.lam, res.rho
+
+        xs_n = jax.vmap(lambda x1, p1: plant(
+            model, x1, p1, t_off, jnp.asarray(period_s, dtype),
+            jnp.asarray(timestep, dtype), n_sub, sim_step))(xs, xu_old)
+        err = jax.vmap(lambda x1, e1: jnp.abs(
+            _ee_xyz(model, x1[:nq]) - e1[0, :3]).sum())(xs_n, ee_goal)
+
+        def with_shift(args):
+            xu_, lam_, ee_ = args
+            return jax.vmap(
+                lambda a, b, c: _shift_all(a, b, c, tail, goal_tail)
+            )(xu_, lam_, ee_)
+
+        xu_solved = xu_n
+        xu_n, lam_n, ee_n = jax.lax.cond(
+            do_shift, with_shift, lambda a: a, (xu_n, lam_n, ee_goal))
+        xu_n = xu_n.at[:, 0, :nx].set(xs_n)
+        out = dict(err=err, shifted=do_shift, xs=xs_n,
+                   sqp_iters=res.sqp_iters, pcg_iters=res.pcg_iters)
+        return (xu_n, xu_solved, lam_n, xs_n, ee_n, rho_n), out
+
+    carry0 = (xu0_b, xu0_b, lam0_b, xs0_b, ee0_b, rho0_b)
+    (xu, _, lam, xs, ee_goal, rho), outs = jax.lax.scan(
+        step, carry0, (shift_flags, tails, goal_tails, offsets))
+    final_err = jax.vmap(lambda x1, e1: jnp.abs(
+        _ee_xyz(model, x1[:lam0_b.shape[-1] // 2]) - e1[0, :3]).sum())(xs, ee_goal)
+    # match the vmapped-outs layout: (B, steps, ...) leading batch axis
+    outs = {k: (v if k == "shifted" else jnp.swapaxes(v, 0, 1))
+            for k, v in outs.items()}
+    return outs, final_err
+
+
 @partial(jax.jit, static_argnames=("cost", "sqp_cfg", "pcg_cfg", "linsys",
                                    "timestep", "period_s", "n_sub", "sim_step"))
 def _ondevice_run_batched(model, cost, sqp_cfg, pcg_cfg, linsys, timestep,
                           period_s, n_sub, sim_step,
                           xu0_b, lam0_b, xs0_b, ee0_b, rho0_b,
                           shift_flags, tails, goal_tails, offsets):
+    use_fused = (jax.default_backend() == "tpu" and cost.mode == "ee"
+                 and pcg_cfg.preconditioner == "stair"
+                 and linsys in ("pcg", "pcg_pallas"))
+    if use_fused:
+        return _ondevice_scan_batched_fused(
+            model, cost, sqp_cfg, pcg_cfg, timestep, period_s, n_sub,
+            sim_step, xu0_b, lam0_b, xs0_b, ee0_b, rho0_b,
+            shift_flags, tails, goal_tails, offsets)
     run1 = lambda xu0, lam0, xs0, ee0, rho0: _ondevice_scan(
         model, cost, sqp_cfg, pcg_cfg, linsys, timestep, period_s, n_sub,
         sim_step, xu0, lam0, xs0, ee0, rho0,
