@@ -104,13 +104,14 @@ def _ee_xyz(model: RobotModel, q):
 def _plant_fn():
     """Fused plant kernel on TPU, XLA scan elsewhere (bit-identical).
 
-    The kernel is validated to 128 plan knots (the lane dim); longer plans
-    fall back to the XLA scan — see solver/sqp.py's Mosaic range note."""
+    The kernel is validated through 512 plan knots (the lane dim; the plant
+    recursion is ABA-based and free of the CRBA layout hazard that gated the
+    KKT kernels in round 1)."""
     if jax.default_backend() == "tpu":
         from mpcgpu_tpu.sim.plant_pallas import simulate_plant_pallas
 
         def plant(model, xs, xu_plan, *args, **kw):
-            if xu_plan.shape[0] <= 128:
+            if xu_plan.shape[0] <= 512:
                 return simulate_plant_pallas(model, xs, xu_plan, *args, **kw)
             return _simulate_plant(model, xs, xu_plan, *args, **kw)
 
