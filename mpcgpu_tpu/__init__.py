@@ -19,11 +19,33 @@ Reference parity citations throughout point at /root/reference (MPCGPU).
 
 from mpcgpu_tpu.config import CostConfig, PCGConfig, SQPConfig, SimConfig
 
+
+def __getattr__(name):
+    # lazy top-level conveniences (keep import light; jax loads on demand)
+    if name in ("sqp_solve", "make_sqp_solver"):
+        from mpcgpu_tpu.solver import sqp
+        return getattr(sqp, name)
+    if name in ("simulate_mpc", "simulate_mpc_ondevice",
+                "simulate_mpc_ondevice_batched"):
+        from mpcgpu_tpu.sim import mpc
+        return getattr(mpc, name)
+    if name == "iiwa14":
+        from mpcgpu_tpu.models import iiwa14
+        return iiwa14
+    raise AttributeError(name)
+
+
 __all__ = [
     "CostConfig",
     "PCGConfig",
     "SQPConfig",
     "SimConfig",
+    "sqp_solve",
+    "make_sqp_solver",
+    "simulate_mpc",
+    "simulate_mpc_ondevice",
+    "simulate_mpc_ondevice_batched",
+    "iiwa14",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -67,10 +67,8 @@ def sqp_solve_sharded(
     n_shard = mesh.shape[knot_axis]
     if N % n_shard:
         raise ValueError(f"N={N} not divisible by {n_shard} knot shards")
-    if pcg_cfg.preconditioner != "stair":
-        raise ValueError(
-            "sqp_solve_sharded implements the stair preconditioner only; got "
-            f"{pcg_cfg.preconditioner!r}")
+    if pcg_cfg.preconditioner not in ("stair", "jacobi", "none"):
+        raise ValueError(f"unknown preconditioner {pcg_cfg.preconditioner!r}")
     L = N // n_shard
     mu = jnp.asarray(sqp_cfg.mu, dtype)
     dt = jnp.asarray(dt, dtype)
@@ -137,8 +135,16 @@ def sqp_solve_sharded(
             gamma = jnp.einsum("kij,kj->ki", Qinv, q) - jnp.where(
                 is_g0[:, None], 0.0, c + aqq_prev + brr_prev)
             S = jnp.stack([phi, theta, phiT], axis=1)
-            # stair preconditioner: off-diags need both neighbors' D
+            zero3 = jnp.zeros_like(S[:, 0])
+            if pcg_cfg.preconditioner == "none":
+                eyeblk = jnp.broadcast_to(eyex, S[:, 1].shape)
+                Pinv = jnp.stack([zero3, eyeblk, zero3], axis=1)
+                return S, Pinv, gamma, Qinv, Rinv
             D = gj_inverse(theta)
+            if pcg_cfg.preconditioner == "jacobi":
+                Pinv = jnp.stack([zero3, D, zero3], axis=1)
+                return S, Pinv, gamma, Qinv, Rinv
+            # stair preconditioner: off-diags need both neighbors' D
             D_l = _send_right(D[-1], ax)
             D_r = _send_left(D[0], ax)
             D_prev = jnp.concatenate([D_l[None], D[:-1]], axis=0)

@@ -87,3 +87,32 @@ def test_sqp_near_feasible_start_accepts_small_steps(problem):
     )
     m1 = _merit(model, cost, res.xu, xs, ee_goal)
     assert m1 <= m0 + 1e-6
+
+
+def test_double_precision_solve():
+    """USE_DOUBLES parity (settings.cuh:41-49): the stack is dtype-generic —
+    build the model and iterates in f64 and the whole solve runs in f64
+    (and converges tighter than f32 allows)."""
+    import jax
+
+    from mpcgpu_tpu.utils.trajfiles import load_eepos_traj, load_xu_traj
+
+    N = 16
+    model = iiwa14(dtype=jnp.float64)
+    cost = CostConfig.for_knots(N)
+    xu = jnp.asarray(load_xu_traj("0_0")[:N], jnp.float64)
+    xu = xu + 0.01 * jax.random.normal(jax.random.PRNGKey(0), xu.shape,
+                                       jnp.float64)
+    xs = xu[0, :14]
+    ee = jnp.asarray(load_eepos_traj("0_0")[:N], jnp.float64)
+    lam = jnp.zeros((N, 14), jnp.float64)
+    res = sqp_solve(model, cost, SQPConfig(max_iter=3),
+                    PCGConfig(max_iter=200, exit_tol=1e-18),
+                    xu, lam, xs, ee, 1e-3, 1 / 64.0, linsys="pcg")
+    assert res.xu.dtype == jnp.float64
+    assert bool(jnp.isfinite(res.xu).all())
+    # f64 reaches an eta far below anything f32 can represent usefully
+    res_tight = sqp_solve(model, cost, SQPConfig(max_iter=1),
+                          PCGConfig(max_iter=500, exit_tol=1e-16),
+                          xu, lam, xs, ee, 1e-3, 1 / 64.0, linsys="pcg")
+    assert bool(res_tight.pcg_converged[0])
