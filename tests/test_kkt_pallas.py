@@ -100,3 +100,34 @@ def test_fused_sqp_matches_unfused(problem):
                   merit_impl="pallas")
     np.testing.assert_allclose(np.asarray(b.xu), np.asarray(a.xu), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(a.pcg_iters), np.asarray(b.pcg_iters))
+
+
+def test_fused_kkt_schur_launder_path_matches_xla():
+    """The >128-lane kernel formulation (VMEM-scratch-laundered CRBA +
+    Sherman-Morrison Qinv + scalar-row Cholesky theta inverse) against the
+    XLA oracle at N=144 — the smallest size that exercises that path."""
+    from mpcgpu_tpu.ops.schur import form_schur_system
+    from mpcgpu_tpu.solver.kkt_pallas import build_kkt_schur_pallas
+
+    N = 144
+    model = iiwa14(dtype=jnp.float32)
+    cost = CostConfig.for_knots(N)
+    xu = jnp.asarray(load_xu_traj("0_0")[:N], jnp.float32)
+    xu = xu + 0.01 * jax.random.normal(jax.random.PRNGKey(3), xu.shape,
+                                       jnp.float32)
+    ee = jnp.asarray(load_eepos_traj("0_0")[:N], jnp.float32)
+    xs = xu[0, :14]
+    rho = 1e-3
+    kkt = build_kkt(model, cost, xu, xs, ee, 1 / 64.0)
+    schur = form_schur_system(kkt, rho)
+    out = build_kkt_schur_pallas(model, cost, xu, xs, ee, rho, 1 / 64.0,
+                                 interpret=True)
+    for name, got, ref in [
+        ("S", out["S"], jnp.transpose(schur.S, (1, 2, 3, 0))),
+        ("Pinv", out["Pinv"], jnp.transpose(schur.Pinv, (1, 2, 3, 0))),
+        ("gamma", out["gamma"], schur.gamma.T),
+    ]:
+        a, b = np.asarray(got), np.asarray(ref)
+        scale = max(float(np.abs(b).max()), 1e-12)
+        np.testing.assert_allclose(a, b, atol=5e-5 * scale,
+                                   err_msg=f"{name} mismatch (launder path)")
