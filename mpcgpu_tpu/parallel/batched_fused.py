@@ -422,6 +422,11 @@ def sqp_solve_batched_fused(
         raise ValueError("fused batched pipeline implements the stair "
                          "preconditioner only")
     B, N, w = xu_b.shape
+    if N > 512:
+        raise ValueError(
+            f"fused batched pipeline is validated to N=512 lanes per "
+            f"instance (got N={N}); use make_batched_sqp_solver(..., "
+            f"fused=False) for longer horizons")
     nq = model.nq
     nx = 2 * nq
     dtype = xu_b.dtype
