@@ -64,3 +64,105 @@ def btd_ldl_solve_cpu(S: np.ndarray, b: np.ndarray) -> np.ndarray:
     if rc != 0:
         raise RuntimeError("btd_ldl_solve: singular diagonal block")
     return x
+
+
+# ---------------------------------------------------------------------------
+# sparse elimination-tree LDL^T (the literal qdldl-equivalent, C18)
+# ---------------------------------------------------------------------------
+
+_SLDL_SO = _DIR / "libsparse_ldl.so"
+_SLDL_SRC = _DIR / "sparse_ldl.cpp"
+_sldl_lib = None
+
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+
+def _load_sldl():
+    global _sldl_lib
+    if _sldl_lib is not None:
+        return _sldl_lib
+    if not _SLDL_SO.exists() or _SLDL_SO.stat().st_mtime < _SLDL_SRC.stat().st_mtime:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             str(_SLDL_SRC), "-o", str(_SLDL_SO)],
+            check=True,
+        )
+    lib = ctypes.CDLL(str(_SLDL_SO))
+    lib.sldl_etree.restype = ctypes.c_int64
+    lib.sldl_etree.argtypes = [ctypes.c_int64, _i64p, _i64p, _i64p, _i64p, _i64p]
+    lib.sldl_factor.restype = ctypes.c_int64
+    lib.sldl_factor.argtypes = [
+        ctypes.c_int64, _i64p, _i64p, _f64p, _i64p, _i64p, _f64p,
+        _f64p, _f64p, _i64p, _i64p, _i64p, _i64p, _f64p,
+    ]
+    lib.sldl_solve.restype = None
+    lib.sldl_solve.argtypes = [ctypes.c_int64, _i64p, _i64p, _f64p, _f64p, _f64p]
+    _sldl_lib = lib
+    return lib
+
+
+class SparseLDL:
+    """Elimination-tree sparse LDL^T with a cached symbolic factorization —
+    the reference's QDLDL_etree / QDLDL_factor / QDLDL_solve usage pattern
+    (pattern prepped once via prep_csr, qdldl/sqp.cuh:164-166; numeric
+    factor+solve per SQP iteration, :193, :271).
+
+    Consumes upper-triangular CSC (ops/csr.py::btd_upper_csc_pattern
+    orientation): per column, ascending row indices with the diagonal
+    present and last.
+    """
+
+    def __init__(self, col_ptr: np.ndarray, row_ind: np.ndarray):
+        self.Ap = np.ascontiguousarray(col_ptr, np.int64)
+        self.Ai = np.ascontiguousarray(row_ind, np.int64)
+        self.n = len(self.Ap) - 1
+        n = self.n
+        lib = _load_sldl()
+        self.Lnz = np.zeros(n, np.int64)
+        self.etree = np.zeros(n, np.int64)
+        work = np.zeros(n, np.int64)
+        nnz_l = lib.sldl_etree(n, self.Ap, self.Ai, work, self.Lnz, self.etree)
+        if nnz_l < 0:
+            raise ValueError("pattern is not upper-triangular CSC with diagonal")
+        self.nnz_l = int(nnz_l)
+        self.Lp = np.zeros(n + 1, np.int64)
+        self.Li = np.zeros(self.nnz_l, np.int64)
+        self.Lx = np.zeros(self.nnz_l, np.float64)
+        self.D = np.zeros(n, np.float64)
+        self.Dinv = np.zeros(n, np.float64)
+        self._iwork = np.zeros(3 * n, np.int64)
+        self._bwork = np.zeros(n, np.int64)
+        self._fwork = np.zeros(n, np.float64)
+
+    def factor(self, values: np.ndarray) -> int:
+        """Numeric factorization; returns the count of positive pivots."""
+        vals = np.ascontiguousarray(values, np.float64)
+        rc = _load_sldl().sldl_factor(
+            self.n, self.Ap, self.Ai, vals, self.Lp, self.Li, self.Lx,
+            self.D, self.Dinv, self.Lnz, self.etree, self._iwork,
+            self._bwork, self._fwork)
+        if rc < 0:
+            raise RuntimeError("sparse LDL^T: zero pivot")
+        return int(rc)
+
+    def solve(self, b: np.ndarray) -> np.ndarray:
+        x = np.ascontiguousarray(b, np.float64).copy()
+        _load_sldl().sldl_solve(self.n, self.Lp, self.Li, self.Lx,
+                                self.Dinv, x)
+        return x
+
+
+def qdldl_solve_schur(S: np.ndarray, gamma: np.ndarray) -> np.ndarray:
+    """One-call direct solve of the BTD Schur system through the sparse
+    elimination-tree LDL^T — the qdldl_solve_schur analogue
+    (qdldl/sqp.cuh:22-49).  S (N,3,n,n), gamma (N,n); returns lambda (N,n).
+    """
+    from mpcgpu_tpu.ops.csr import btd_upper_csc_pattern, btd_upper_csc_values
+
+    S = np.asarray(S, np.float64)
+    N, _, n, _ = S.shape
+    col_ptr, row_ind = btd_upper_csc_pattern(n, N)
+    fac = SparseLDL(col_ptr, row_ind)
+    fac.factor(btd_upper_csc_values(S))
+    return fac.solve(np.asarray(gamma, np.float64).reshape(N * n)).reshape(N, n)

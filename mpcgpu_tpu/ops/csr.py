@@ -47,3 +47,37 @@ def btd_lower_csc_values(S) -> np.ndarray:
 
 def btd_nnz_lower(n: int, N: int) -> int:
     return (N - 1) * n * n + N * (n * (n + 1) // 2)
+
+
+def btd_upper_csc_pattern(n: int, N: int):
+    """(col_ptr, row_ind) of the BTD UPPER triangle in CSC order — the
+    orientation qdldl consumes (upper CSC == the reference's lower CSR,
+    csr.cuh:40-74).  Column col = k*n + j holds the super-diagonal block
+    phi_k^T's column (all n rows of block (k-1, k)) followed by the diagonal
+    block's rows 0..j."""
+    col_ptr = [0]
+    row_ind = []
+    for k in range(N):
+        for j in range(n):
+            col = k * n + j
+            if k > 0:
+                row_ind.extend(range((k - 1) * n, k * n))
+            row_ind.extend(range(k * n, col + 1))
+            col_ptr.append(len(row_ind))
+    return np.asarray(col_ptr, np.int64), np.asarray(row_ind, np.int64)
+
+
+def btd_upper_csc_values(S) -> np.ndarray:
+    """Pack BTD (N,3,n,n) values into btd_upper_csc_pattern's value order.
+
+    Block (k-1, k) of the symmetric S is S[k-1, 2] (= phi_k^T); its column j
+    contributes rows (k-1)*n..k*n-1 of matrix column k*n+j."""
+    S = np.asarray(S)
+    N, _, n, _ = S.shape
+    vals = []
+    for k in range(N):
+        for j in range(n):
+            if k > 0:
+                vals.extend(S[k - 1, 2][:, j])
+            vals.extend(S[k, 1][: j + 1, j])
+    return np.asarray(vals, S.dtype)

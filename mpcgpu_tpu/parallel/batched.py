@@ -46,22 +46,41 @@ def make_batched_sqp_solver(
     VMEM-pinned by XLA and a large batch exceeds the 16 MB scoped budget);
     the individual kernels still run vmapped where their lane gates allow
     (solver/sqp.py:94-100)."""
-    if fused == "auto":
-        fused = (jax.default_backend() == "tpu" and cost.mode == "ee"
-                 and pcg_cfg.preconditioner == "stair"
-                 and linsys in ("pcg", "pcg_pallas"))
-    if fused:
+    def _make_unfused():
+        def _solve_one(xu, lam, xs, ee_goal, rho):
+            return sqp_solve(
+                model, cost, sqp_cfg, pcg_cfg, xu, lam, xs, ee_goal, rho, dt,
+                linsys=linsys, fused=False,
+            )
+
+        batched = jax.vmap(_solve_one)
+        donate_argnums = (0, 1) if donate else ()
+        return jax.jit(batched, donate_argnums=donate_argnums)
+
+    def _make_fused():
         from mpcgpu_tpu.parallel.batched_fused import make_batched_fused_solver
 
         return make_batched_fused_solver(
             model, cost, sqp_cfg, pcg_cfg, dt, donate=donate)
 
-    def _solve_one(xu, lam, xs, ee_goal, rho):
-        return sqp_solve(
-            model, cost, sqp_cfg, pcg_cfg, xu, lam, xs, ee_goal, rho, dt,
-            linsys=linsys, fused=False,
-        )
+    if fused == "auto":
+        applicable = (jax.default_backend() == "tpu" and cost.mode == "ee"
+                      and pcg_cfg.preconditioner == "stair"
+                      and linsys in ("pcg", "pcg_pallas"))
+        if not applicable:
+            return _make_unfused()
+        # the fused pipeline's N <= 512 lane gate is only checkable at call
+        # time (N comes from xu's shape): dispatch per shape, falling back to
+        # the vmapped unfused path for longer horizons instead of raising
+        solvers: dict = {}
 
-    batched = jax.vmap(_solve_one)
-    donate_argnums = (0, 1) if donate else ()
-    return jax.jit(batched, donate_argnums=donate_argnums)
+        def _dispatch(xu_b, lam_b, xs_b, ee_goal_b, rho_b):
+            key = "fused" if xu_b.shape[1] <= 512 else "unfused"
+            if key not in solvers:
+                solvers[key] = _make_fused() if key == "fused" else _make_unfused()
+            return solvers[key](xu_b, lam_b, xs_b, ee_goal_b, rho_b)
+
+        return _dispatch
+    if fused:
+        return _make_fused()
+    return _make_unfused()

@@ -241,25 +241,37 @@ def _make_pcg_kernel_packed(unroll: int, exit_criterion: str, n_inst: int,
 
         def step(state):
             lam, r, p, etas, its, dones = state
-            done_l = expand([d.astype(dtype) for d in dones])   # (1, L)
-            act_l = 1.0 - done_l
+            # freeze converged AND iteration-capped instances, exactly as the
+            # single-instance kernel's `skip` (ops/pcg_pallas.py::_make_pcg_kernel)
+            skip = [jnp.logical_or(dones[g], its[g] >= max_iter)
+                    for g in range(n_inst)]
+            skip_l = expand([s.astype(dtype) for s in skip])    # (1, L)
+            act_l = 1.0 - skip_l
             Sp = _matvec_lanes(S, p)
             pSp = segsum(p * Sp)
-            alpha = [etas[g] / pSp[g] for g in range(n_inst)]
-            alpha_l = expand(alpha) * act_l
+            one = jnp.ones((), dtype)
+            zero = jnp.zeros((), dtype)
+            # where-guarded divisions: a frozen instance can have pSp/etas
+            # exactly 0 (e.g. zero-residual start); its 0/0 NaN would leak
+            # through the multiplicative lane masks (NaN*0 = NaN) and poison
+            # every other instance in the group
+            safe_div = lambda num, den, s: jnp.where(
+                s, zero, num / jnp.where(s, one, den))
+            alpha = [safe_div(etas[g], pSp[g], skip[g]) for g in range(n_inst)]
+            alpha_l = expand(alpha)                             # 0 on frozen lanes
             lam_n = lam + alpha_l * p
             r_n = r - alpha_l * Sp
             z = _matvec_lanes(Pinv, r_n)
             etas_n = segsum(r_n * z)
             rr_n = segsum(r_n * r_n) if exit_criterion == "rnorm" else etas_n
             done_now = exit_test(rr_n, etas_n)
-            beta = [etas_n[g] / etas[g] for g in range(n_inst)]
-            p_n = z * act_l + expand(beta) * p * act_l + p * done_l
-            # frozen instances keep old lam/r (act_l already zeroed updates
-            # to lam/r via alpha_l; p needs the explicit blend above)
-            etas_k = [jnp.where(dones[g], etas[g], etas_n[g])
+            beta = [safe_div(etas_n[g], etas[g], skip[g]) for g in range(n_inst)]
+            p_n = z * act_l + expand(beta) * p + p * skip_l
+            # frozen instances keep old lam/r (alpha_l already zeroed their
+            # updates; p needs the explicit blend above)
+            etas_k = [jnp.where(skip[g], etas[g], etas_n[g])
                       for g in range(n_inst)]
-            its_k = [its[g] + (1 - dones[g].astype(jnp.int32))
+            its_k = [its[g] + (1 - skip[g].astype(jnp.int32))
                      for g in range(n_inst)]
             dones_k = [jnp.logical_or(dones[g], done_now[g])
                        for g in range(n_inst)]

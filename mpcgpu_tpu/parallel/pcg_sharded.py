@@ -3,14 +3,32 @@
 The horizon axis is the reference's defining parallel axis (one CUDA block
 per knot, SURVEY.md section 2); across chips it becomes sequence parallelism:
 each device owns a contiguous slab of knot block-rows.  Per PCG iteration the
-BTD SpMV and the stair preconditioner apply need only each neighbor's single
-boundary block-vector row — O(1) communication via a `ppermute` ring over ICI
-— and the two CG dot products reduce with `psum` (BASELINE configs[4],
+BTD SpMV and the stair preconditioner apply need only each neighbor's
+boundary block-vector rows — O(1) communication via a `ppermute` ring over
+ICI — and the CG dot products reduce with `psum` (BASELINE configs[4],
 SURVEY.md section 5 "long-context/sequence parallelism").
 
-Implementation: `shard_map` over the ``knot`` mesh axis; the while_loop runs
-identically on every device (replicated scalars), so the whole solve is one
-SPMD program with two ppermutes + two psums per iteration.
+Two iteration formulations (`shard_map` over the ``knot`` mesh axis; the
+while_loop runs identically on every device):
+
+* ``method="classic"``: textbook PCG — two halo exchanges + two DEPENDENT
+  psums per iteration (alpha's dot must land before the beta dot can start).
+* ``method="pipelined"`` (default): the Chronopoulos-Gear single-reduction
+  formulation.  Both dot products (plus ||r||^2 for the rnorm exit) fuse
+  into ONE psum of a stacked scalar triple, and the two chained halo
+  exchanges collapse into ONE bidirectional exchange of TWO-row packets:
+  since Pinv and S are both block-tridiagonal, u = Pinv r on rows [-1, L]
+  needs r rows [-2, L+1], after which w = S u is entirely local.  The
+  neighbors' boundary Pinv rows are loop-invariant and exchanged once
+  before the loop.  Interior compute is written against purely local
+  slices (no concatenate with halo results), so XLA's latency-hiding
+  scheduler overlaps the ppermutes with it.  Exit semantics (eta and the
+  reference's rnorm, SURVEY.md C17) and iteration counts match classic
+  exactly; iterates agree to reassociation-level rounding.
+
+Collective budget per iteration: classic 4 ppermutes + 2 psums (3 for
+rnorm); pipelined 2 ppermutes + 1 psum — asserted structurally in
+tests/test_parallel.py by counting collectives in the while-body jaxpr.
 """
 
 from __future__ import annotations
@@ -98,17 +116,124 @@ def _pcg_local(S_loc, Pinv_loc, gamma_loc, lam_loc, max_iter: int, exit_tol,
     return lam, iters, done
 
 
+def _halo_rows2(x_loc, axis_name: str):
+    """One bidirectional exchange of TWO-row packets: returns
+    (from_left (2, n) = left neighbor's last two rows,
+     from_right (2, n) = right neighbor's first two rows)."""
+    n_dev = jax.lax.axis_size(axis_name)
+    perm_fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    perm_bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    from_left = jax.lax.ppermute(x_loc[-2:], axis_name, perm_fwd)
+    from_right = jax.lax.ppermute(x_loc[:2], axis_name, perm_bwd)
+    return from_left, from_right
+
+
+def _blockmv(M, v):
+    """(n, n) @ (n,)."""
+    return M @ v
+
+
+def _pcg_local_pipelined(S_loc, Pinv_loc, gamma_loc, lam_loc, max_iter: int,
+                         exit_tol, axis_name: str,
+                         exit_criterion: str = "eta"):
+    """Chronopoulos-Gear PCG: 1 psum + 1 bidirectional 2-row halo exchange
+    per iteration.  Identical exit semantics and iteration counts as
+    _pcg_local (see module docstring)."""
+    dtype = gamma_loc.dtype
+    exit_tol = jnp.asarray(exit_tol, dtype)
+    L = gamma_loc.shape[0]
+
+    # loop-invariant: the neighbors' boundary Pinv block-rows (needed to
+    # evaluate u = Pinv r at rows -1 and L).  Exchanged ONCE.
+    n_dev = jax.lax.axis_size(axis_name)
+    perm_fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    perm_bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    PinvL = jax.lax.ppermute(Pinv_loc[-1], axis_name, perm_fwd)  # (3, n, n)
+    PinvR = jax.lax.ppermute(Pinv_loc[0], axis_name, perm_bwd)
+
+    def dual_apply(r):
+        """u = Pinv r (local rows) and w = S u, with ONE halo exchange.
+
+        Ring-wrap garbage at the global edges is annihilated by the
+        structurally-zero corner blocks (Pinv[0,0] = S[0,0] = 0 at the
+        global first row; Pinv[N-1,2] = S[N-1,2] = 0 at the last)."""
+        fl, fr = _halo_rows2(r, axis_name)          # issued first: overlaps
+        # interior of u: purely local slices, independent of the halo
+        u = jnp.einsum("kij,kj->ki", Pinv_loc[:, 1], r)
+        u = u.at[1:].add(jnp.einsum("kij,kj->ki", Pinv_loc[1:, 0], r[:-1]))
+        u = u.at[:-1].add(jnp.einsum("kij,kj->ki", Pinv_loc[:-1, 2], r[1:]))
+        # boundary contributions (first touch of the halo data)
+        u = u.at[0].add(_blockmv(Pinv_loc[0, 0], fl[1]))
+        u = u.at[-1].add(_blockmv(Pinv_loc[-1, 2], fr[0]))
+        # off-slab u rows from the neighbors' (loop-invariant) Pinv rows
+        u_m1 = (_blockmv(PinvL[0], fl[0]) + _blockmv(PinvL[1], fl[1])
+                + _blockmv(PinvL[2], r[0]))
+        u_Lp = (_blockmv(PinvR[0], r[-1]) + _blockmv(PinvR[1], fr[0])
+                + _blockmv(PinvR[2], fr[1]))
+        w = jnp.einsum("kij,kj->ki", S_loc[:, 1], u)
+        w = w.at[1:].add(jnp.einsum("kij,kj->ki", S_loc[1:, 0], u[:-1]))
+        w = w.at[:-1].add(jnp.einsum("kij,kj->ki", S_loc[:-1, 2], u[1:]))
+        w = w.at[0].add(_blockmv(S_loc[0, 0], u_m1))
+        w = w.at[-1].add(_blockmv(S_loc[-1, 2], u_Lp))
+        return u, w
+
+    def reduce3(r, u, w):
+        """ONE psum: (eta = r.u, d = w.u, rr = r.r) stacked."""
+        loc = jnp.stack([jnp.vdot(r, u), jnp.vdot(w, u), jnp.vdot(r, r)])
+        tot = jax.lax.psum(loc, axis_name)
+        return tot[0], tot[1], tot[2]
+
+    def exit_test(eta, rr):
+        if exit_criterion == "rnorm":
+            return rr < exit_tol * exit_tol
+        return jnp.abs(eta) < exit_tol
+
+    r0 = gamma_loc - btd_matvec_halo(S_loc, lam_loc, axis_name)
+    u0, w0 = dual_apply(r0)
+    eta0, d0, rr0 = reduce3(r0, u0, w0)
+    one = jnp.ones((), dtype)
+
+    def cond(state):
+        return jnp.logical_and(state[-2] < max_iter,
+                               jnp.logical_not(state[-1]))
+
+    def body(state):
+        x, r, u, w, eta, d, eta_prev, alpha_prev, p, s, it, _ = state
+        first = it == 0
+        beta = jnp.where(first, jnp.zeros((), dtype), eta / eta_prev)
+        denom = jnp.where(first, d, d - beta * eta / alpha_prev)
+        alpha = eta / denom
+        p = u + beta * p
+        s = w + beta * s
+        x = x + alpha * p
+        r = r - alpha * s
+        u, w = dual_apply(r)                    # 1 halo exchange
+        eta_n, d_n, rr_n = reduce3(r, u, w)     # 1 psum
+        done = exit_test(eta_n, rr_n)
+        return (x, r, u, w, eta_n, d_n, eta, alpha, p, s, it + 1, done)
+
+    init = (lam_loc, r0, u0, w0, eta0, d0, one, one,
+            jnp.zeros_like(r0), jnp.zeros_like(r0), jnp.int32(0),
+            exit_test(eta0, rr0))
+    out = jax.lax.while_loop(cond, body, init)
+    return out[0], out[-2], out[-1]
+
+
 @highest_precision
 def pcg_solve_sharded(
     S, Pinv, gamma, lam0, mesh: Mesh, max_iter: int = 173, exit_tol=1e-6,
     knot_axis: str = "knot", exit_criterion: str = "eta",
+    method: str = "pipelined",
 ) -> PCGResult:
     """Solve S lam = gamma with knot blocks sharded over ``mesh[knot_axis]``.
 
     Shapes as in ops/pcg.py; N must be divisible by the knot axis size.
+    method: "pipelined" (1 psum + 1 halo exchange per iteration, default) or
+    "classic" (the textbook 2-psum formulation) — see module docstring.
     """
+    impl = _pcg_local_pipelined if method == "pipelined" else _pcg_local
     fn = shard_map(
-        partial(_pcg_local, max_iter=max_iter, exit_tol=exit_tol,
+        partial(impl, max_iter=max_iter, exit_tol=exit_tol,
                 axis_name=knot_axis, exit_criterion=exit_criterion),
         mesh=mesh,
         in_specs=(P(knot_axis), P(knot_axis), P(knot_axis), P(knot_axis)),

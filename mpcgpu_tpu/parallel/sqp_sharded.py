@@ -30,7 +30,7 @@ from jax.experimental.shard_map import shard_map
 from mpcgpu_tpu.config import CostConfig, PCGConfig, SQPConfig
 from mpcgpu_tpu.models.robot import RobotModel
 from mpcgpu_tpu.ops.smallmat import gj_inverse
-from mpcgpu_tpu.parallel.pcg_sharded import _pcg_local
+from mpcgpu_tpu.parallel.pcg_sharded import _pcg_local, _pcg_local_pipelined
 from mpcgpu_tpu.precision import highest_precision
 from mpcgpu_tpu.solver.kkt import euler_step_and_jacobians, tracking_cost_grad_hess
 from mpcgpu_tpu.solver.sqp import SQPResult
@@ -58,8 +58,27 @@ def sqp_solve_sharded(
     mesh: Mesh,
     integrator_type: int = 0,
     knot_axis: str = "knot",
+    iter_budget=None,
+    fused: bool | str = "auto",
+    pcg_method: str = "pipelined",
 ) -> SQPResult:
-    """Full SQP solve with (N, ...) arrays sharded over mesh[knot_axis]."""
+    """Full SQP solve with (N, ...) arrays sharded over mesh[knot_axis].
+
+    iter_budget: optional TRACED iteration cap <= sqp_cfg.max_iter — the
+    on-device sqpTimecheck equivalent (pcg/sqp.cuh:161-169), same semantics
+    as solver/sqp.py::sqp_solve's iter_budget: the MPC layer converts
+    SQP_MAX_TIME_US into an iteration count via one-time calibration.
+
+    fused: run the shard-LOCAL compute through the fused Pallas kernel
+    pipeline (slab KKT+Schur+stair with 2-knot halos, slab dz, slab merit
+    partials) instead of the per-knot XLA twins, so the multi-chip path gets
+    single-chip kernel economics (the knot-parallel grid axis of
+    kkt.cuh:61 extended across chips).  "auto" = on TPU when the slab shape
+    qualifies (ee cost, stair preconditioner, slab length >= 2).
+
+    pcg_method: "pipelined" (Chronopoulos-Gear, 1 psum + 1 halo exchange
+    per CG iteration) or "classic" — see parallel/pcg_sharded.py.
+    """
     N = xu.shape[0]
     nq = model.nq
     nx = 2 * nq
@@ -70,13 +89,25 @@ def sqp_solve_sharded(
     if pcg_cfg.preconditioner not in ("stair", "jacobi", "none"):
         raise ValueError(f"unknown preconditioner {pcg_cfg.preconditioner!r}")
     L = N // n_shard
+    if fused == "auto":
+        fused = (jax.default_backend() == "tpu" and cost.mode == "ee"
+                 and pcg_cfg.preconditioner == "stair" and L >= 2)
+    if fused:
+        if cost.mode != "ee" or pcg_cfg.preconditioner != "stair":
+            raise ValueError(
+                "fused sharded SQP requires ee cost mode and the stair "
+                "preconditioner (the slab kernel emits stair Pinv)")
+        if L < 2:
+            raise ValueError(f"fused slab path needs slab length >= 2, got {L}")
+    interpret = jax.default_backend() != "tpu"
     mu = jnp.asarray(sqp_cfg.mu, dtype)
     dt = jnp.asarray(dt, dtype)
     alphas = jnp.concatenate([
         jnp.zeros((1,), dtype), -1.0 / (2.0 ** jnp.arange(sqp_cfg.num_alphas, dtype=dtype))
     ])
+    _pcg_impl = _pcg_local_pipelined if pcg_method == "pipelined" else _pcg_local
 
-    def local(xu_loc, lam_loc, ee_loc, xs_rep, rho0):
+    def local(xu_loc, lam_loc, ee_loc, xs_rep, rho0, iter_bound):
         ax = knot_axis
         shard = jax.lax.axis_index(ax)
         gpos = shard * L + jnp.arange(L)                 # global knot indices
@@ -199,17 +230,105 @@ def sqp_solve_sharded(
             local_merits = jax.vmap(one)(alphas)
             return jax.lax.psum(local_merits, ax)
 
+        # ---- fused slab stages (Pallas kernels per shard) ----
+        H = 2   # halo depth: the stair Pinv's D_{k-1} has a 2-hop dependency
+        gmod = jnp.mod(shard * L + jnp.arange(-H, L + H), N)
+        first_m_ext = (gmod == 0).astype(dtype)
+        last_m_ext = (gmod == N - 1).astype(dtype)
+
+        def halo2(v):
+            """Extend a (L, ...) slab with 2 ring-halo rows per side.  The
+            wrap-around rows at the global edges feed only masked-out terms
+            (see build_kkt_schur_pallas_slab's boundary-mask contract)."""
+            fl = _send_right(v[-H:], ax)
+            fr = _send_left(v[:H], ax)
+            return jnp.concatenate([fl, v, fr], axis=0)
+
+        ee_ext = halo2(ee_loc) if fused else None   # loop-invariant
+
+        def build_fused(xu_loc, rho):
+            from mpcgpu_tpu.solver.kkt_pallas import build_kkt_schur_pallas_slab
+
+            xu_ext = halo2(xu_loc)
+            x_ext = xu_ext[:, :nx]
+            if cost.terminal_at_last_state:
+                x_eval_ext = x_ext
+            else:
+                # terminal quirk: global-last cost blocks evaluated at the
+                # previous knot's state (in-slab: the global-last lane is
+                # never lane 0 of the extended slab)
+                x_prev = jnp.concatenate([x_ext[:1], x_ext[:-1]], axis=0)
+                x_eval_ext = jnp.where(last_m_ext[:, None] > 0, x_prev, x_ext)
+            lane = build_kkt_schur_pallas_slab(
+                model, cost, xu_ext, x_eval_ext, ee_ext,
+                first_m_ext, last_m_ext, rho, dt,
+                integrator_type=integrator_type, interpret=interpret)
+            return {k: v[..., H : H + L] for k, v in lane.items()}
+
+        def dz_fused(lane, xu_loc, lam_new, rho):
+            from mpcgpu_tpu.solver.kkt_pallas import compute_dz_pallas_slab
+
+            lam_r = _send_left(lam_new[0], ax)
+            lam_next = jnp.concatenate([lam_new[1:], lam_r[None]], axis=0)
+            return compute_dz_pallas_slab(
+                lane, lam_new, lam_next, is_gl.astype(dtype),
+                xu_loc[:, nx:], rho, cost.r_cost, interpret=interpret)
+
+        def merits_fused(xu_loc, dz_loc):
+            """Slab merit-partials kernel + boundary corrections + 1 psum."""
+            from mpcgpu_tpu.solver.merit_pallas import (
+                line_search_merit_partials_slab)
+
+            x0r, dz0r = _send_left((xu_loc[0], dz_loc[0]), ax)
+            xu_e = jnp.concatenate([xu_loc, x0r[None]], axis=0)
+            dz_e = jnp.concatenate([dz_loc, dz0r[None]], axis=0)
+            ee_e = jnp.concatenate([ee_loc, ee_loc[:1]], axis=0)
+            cost_pl, defect_pl, _ = line_search_merit_partials_slab(
+                model, cost, xu_e, dz_e, ee_e, dt,
+                num_alphas=sqp_cfg.num_alphas,
+                integrator_type=integrator_type, interpret=interpret)
+            cost_pl = cost_pl[:, :L]                 # drop the halo lane
+            defect_pl = defect_pl[:, :L]
+            glf = is_gl.astype(dtype)
+            # the kernel's per-lane cost includes the control penalty at
+            # every interior lane; the global LAST knot has none
+            # (iiwa_eepos_plant.cuh:381-401 terminal block)
+            cand_u = (xu_loc[None, :, nx:]
+                      + alphas[:, None, None] * dz_loc[None, :, nx:])
+            extra = 0.5 * cost.r_cost * jnp.sum(
+                glf[None, :, None] * cand_u * cand_u, axis=(1, 2))
+            cost_tot = jnp.sum(cost_pl, axis=1) - extra
+            defect_tot = jnp.sum(defect_pl * (1.0 - glf)[None, :], axis=1)
+            cand_x0 = xu_loc[0, :nx] + alphas[:, None] * dz_loc[0, :nx]
+            x0_res = jnp.where(
+                shard == 0,
+                jnp.sum(jnp.abs(cand_x0 - xs_rep[None, :]), axis=1), 0.0)
+            return jax.lax.psum(
+                cost_tot + mu * (defect_tot + x0_res), ax)
+
         def body(state):
             xu_loc, lam_loc, rho, drho, it = (
                 state["xu"], state["lam"], state["rho"], state["drho"],
                 state["it"])
-            x, u, xnext, A, B, Q, q, R, r, c = build_blocks(xu_loc)
-            S, Pinv, gamma, Qinv, Rinv = form_schur(A, B, Q, q, R, r, c, rho)
-            lam_new, lin_iters, lin_ok = _pcg_local(
+            if fused:
+                lane = build_fused(xu_loc, rho)
+                # knot-leading layout for the sharded PCG (one transpose per
+                # SQP iteration; the CG loop then runs ~max_iter collectives)
+                S = jnp.transpose(lane["S"], (3, 0, 1, 2))
+                Pinv = jnp.transpose(lane["Pinv"], (3, 0, 1, 2))
+                gamma = lane["gamma"].T
+            else:
+                x, u, xnext, A, B, Q, q, R, r, c = build_blocks(xu_loc)
+                S, Pinv, gamma, Qinv, Rinv = form_schur(A, B, Q, q, R, r, c, rho)
+            lam_new, lin_iters, lin_ok = _pcg_impl(
                 S, Pinv, gamma, lam_loc, pcg_cfg.max_iter, pcg_cfg.exit_tol,
                 ax, exit_criterion=pcg_cfg.exit_criterion)
-            dz = compute_dz(A, B, q, r, Qinv, Rinv, lam_new)
-            merits = merits_of(xu_loc, dz)
+            if fused:
+                dz = dz_fused(lane, xu_loc, lam_new, rho)
+                merits = merits_fused(xu_loc, dz)
+            else:
+                dz = compute_dz(A, B, q, r, Qinv, Rinv, lam_new)
+                merits = merits_of(xu_loc, dz)
             merit_cur = merits[0]
             best = 1 + jnp.argmin(merits[1:])
             min_merit = merits[best]
@@ -246,20 +365,28 @@ def sqp_solve_sharded(
             ls_alpha_idx=jnp.full((sqp_cfg.max_iter,), -1, jnp.int32),
         )
         final = jax.lax.while_loop(
-            lambda s: jnp.logical_and(s["it"] < sqp_cfg.max_iter, ~s["stop"]),
+            lambda s: jnp.logical_and(s["it"] < iter_bound, ~s["stop"]),
             body, init)
         return (final["xu"], final["lam"], final["rho"], final["drho"],
                 final["it"], final["merit"], final["gave_up"],
                 final["pcg_iters"], final["pcg_converged"],
                 final["ls_alpha_idx"])
 
+    if iter_budget is None:
+        iter_bound = jnp.int32(sqp_cfg.max_iter)
+    else:
+        iter_bound = jnp.minimum(jnp.int32(sqp_cfg.max_iter),
+                                 jnp.asarray(iter_budget, jnp.int32))
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(P(knot_axis), P(knot_axis), P(knot_axis), P(), P()),
+        in_specs=(P(knot_axis), P(knot_axis), P(knot_axis), P(), P(), P()),
         out_specs=(P(knot_axis), P(knot_axis), P(), P(), P(), P(), P(), P(),
                    P(), P()),
+        # fused path: pallas_call emits vma-less out_shapes, incompatible
+        # with shard_map's varying-mesh-axes check
+        check_rep=not fused,
     )
-    out = fn(xu, lam, ee_goal, xs, jnp.asarray(rho, dtype))
+    out = fn(xu, lam, ee_goal, xs, jnp.asarray(rho, dtype), iter_bound)
     return SQPResult(xu=out[0], lam=out[1], rho=out[2], drho=out[3],
                      sqp_iters=out[4], merit=out[5], gave_up=out[6],
                      pcg_iters=out[7], pcg_converged=out[8],

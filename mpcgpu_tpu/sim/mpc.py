@@ -725,11 +725,14 @@ def simulate_mpc_ondevice_batched(
     dtype=jnp.float32,
 ):
     """Scenario-parallel closed-loop MPC: `batch` perturbed-initial-state
-    tracking experiments as ONE jitted program (vmap over the on-device scan).
+    tracking experiments as ONE jitted program.
 
-    The per-instance solver runs with the unfused kernel pipeline (see
-    solver/sqp.py::sqp_solve's `fused` note); PCG/merit kernels batch through
-    the vmap grid. Returns per-instance tracking-error arrays.
+    On TPU (ee cost, stair preconditioner, pcg linsys) every scan step solves
+    all B instances through the instance-GRIDDED fused pipeline
+    (parallel/batched_fused.py); otherwise it vmaps the unfused per-instance
+    scan.  Output shapes are identical on both backends: per-instance arrays
+    are (batch, steps, ...), and ``shift_mask`` is always (steps,) — the
+    shift schedule is shared across instances.
     """
     N = knot_points
     nq = model.nq

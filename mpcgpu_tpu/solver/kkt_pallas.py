@@ -637,7 +637,8 @@ def _mmn_bt(Ma, Mb, n):
 
 def _make_kkt_schur_kernel(nq: int, N: int, integrator_type: int,
                            gravity: float, qd_cost: float, r_cost: float,
-                           angle_wrap: bool = False, knots: int | None = None):
+                           angle_wrap: bool = False, knots: int | None = None,
+                           boundary_masks: bool = False):
     """KKT assembly + Schur condensation + stair preconditioner, one kernel.
 
     Emits (S, Pinv, gamma) DIRECTLY in the lane layout the PCG kernel wants
@@ -652,15 +653,28 @@ def _make_kkt_schur_kernel(nq: int, N: int, integrator_type: int,
     batched grid path, parallel/batched.py): every per-knot boundary mask is
     a function of k_local = lane %% knots, and the lane rolls that realize
     k-1 / k+1 coupling wrap across instance boundaries only where those
-    masks are zero — the same trick as the ring halo in pcg_sharded.py."""
+    masks are zero — the same trick as the ring halo in pcg_sharded.py.
+
+    ``boundary_masks=True`` (the knot-SHARDED slab path,
+    parallel/sqp_sharded.py): the global-first/global-last knot positions are
+    not derivable from the lane index — the slab is an arbitrary window of
+    the horizon with halo lanes at both ends — so the kernel takes them as a
+    RUNTIME (2, N) input row (row 0 = 1.0 at the global first knot's lane,
+    row 1 = 1.0 at the global last knot's lane) inserted after rho."""
     nx = 2 * nq
     knots = N if knots is None else knots
     launder = N > 128
 
-    def kernel(xu_ref, xeval_ref, goal_ref, rho_ref, dt_ref,
-               xc_ref, xsin_ref, xcos_ref, I_ref, hc_ref, hsin_ref, hcos_ref,
-               S_ref, P_ref, gam_ref, Qinv_ref, A_ref, Bm_ref, qv_ref,
-               *scratch):
+    def kernel(xu_ref, xeval_ref, goal_ref, rho_ref, *rest):
+        if boundary_masks:
+            bmask_ref, dt_ref = rest[0], rest[1]
+            rest = rest[2:]
+        else:
+            bmask_ref, dt_ref = None, rest[0]
+            rest = rest[1:]
+        (xc_ref, xsin_ref, xcos_ref, I_ref, hc_ref, hsin_ref, hcos_ref,
+         S_ref, P_ref, gam_ref, Qinv_ref, A_ref, Bm_ref, qv_ref,
+         *scratch) = rest
         dt = dt_ref[0]
         # rho rides a (1, N) VMEM row (an SMEM scalar cannot carry a vmap
         # batch dim; this layout keeps the kernel vmappable per instance)
@@ -677,12 +691,23 @@ def _make_kkt_schur_kernel(nq: int, N: int, integrator_type: int,
 
         rowx = jax.lax.broadcasted_iota(jnp.int32, (nx, nx, N), 0)
         colx = jax.lax.broadcasted_iota(jnp.int32, (nx, nx, N), 1)
-        kmat = jax.lax.broadcasted_iota(jnp.int32, (nx, nx, N), 2)
-        kvec = jax.lax.broadcasted_iota(jnp.int32, (nx, N), 1)
-        if knots != N:
-            kmat = jax.lax.rem(kmat, jnp.int32(knots))  # per-instance knot index
-            kvec = jax.lax.rem(kvec, jnp.int32(knots))
         eyex = (rowx == colx).astype(dtype)
+        if boundary_masks:
+            # runtime global-first/global-last lanes; (1, N) and (1, 1, N)
+            # rows broadcast in arithmetic exactly like rho_row/s_r below
+            n0v = 1.0 - bmask_ref[0:1, :]
+            nlv = 1.0 - bmask_ref[1:2, :]
+            not0 = n0v[None]
+            notl = nlv[None]
+        else:
+            kmat = jax.lax.broadcasted_iota(jnp.int32, (nx, nx, N), 2)
+            kvec = jax.lax.broadcasted_iota(jnp.int32, (nx, N), 1)
+            if knots != N:
+                kmat = jax.lax.rem(kmat, jnp.int32(knots))  # per-instance knot
+                kvec = jax.lax.rem(kvec, jnp.int32(knots))
+            not0 = (kmat >= 1).astype(dtype)
+            notl = (kmat <= knots - 2).astype(dtype)
+            n0v = (kvec >= 1).astype(dtype)
 
         s_r = 1.0 / (r_cost + rho_row)                # (R+rho I)^{-1}, (1, N)
         s_r3 = s_r[None]                              # (1, 1, N)
@@ -732,8 +757,6 @@ def _make_kkt_schur_kernel(nq: int, N: int, integrator_type: int,
             ], axis=0)
         T = AQAT + brbt                               # theta contribution of lane k -> k+1
 
-        not0 = (kmat >= 1).astype(dtype)
-        notl = (kmat <= knots - 2).astype(dtype)
         theta = Qinv + not0 * pltpu.roll(T, 1, axis=2)
         phi = -not0 * pltpu.roll(AQ, 1, axis=2)       # block (k, k-1)
         QA_T = _mmn_bt(Qinv, Amat, nx)                # Qinv_k A_k^T = (AQ_k)^T
@@ -748,7 +771,6 @@ def _make_kkt_schur_kernel(nq: int, N: int, integrator_type: int,
             [dt * dt * _mvn(Minv, u), dt * _mvn(Minv, u)], axis=0
         )
         brr = (r_cost * s_r) * bu                               # B Rr^{-1} r_k
-        n0v = (kvec >= 1).astype(dtype)
         gamma = _mvn(Qinv, grad) - n0v * (
             defect + pltpu.roll(aqq, 1, axis=1) + pltpu.roll(brr, 1, axis=1)
         )
@@ -827,29 +849,105 @@ def build_kkt_schur_pallas(
     return dict(S=S, Pinv=P, gamma=gamma, Qinv=Qinv, A=A, B=B, q=qv)
 
 
-def _make_dz_kernel(nq: int, N: int, knots: int | None = None):
+@highest_precision
+@partial(jax.jit, static_argnames=("cost", "integrator_type", "interpret",
+                                   "angle_wrap"))
+def build_kkt_schur_pallas_slab(
+    model: RobotModel, cost: CostConfig, xu_ext, x_eval_ext, ee_goal_ext,
+    first_mask, last_mask, rho, dt,
+    integrator_type: int = 0, interpret: bool = False,
+    angle_wrap: bool = False,
+):
+    """Fused KKT+Schur+stair on a horizon SLAB with halo lanes — the
+    shard-local kernel of the knot-sharded SQP (parallel/sqp_sharded.py).
+
+    xu_ext (Lext, nx+nu) is one shard's slab extended with halo knots from
+    its ring neighbors (2 on each side: the stair preconditioner's
+    D_{k-1} = theta_{k-1}^{-1} needs T_{k-2}, a two-hop dependency).
+    first_mask / last_mask (Lext,) mark the GLOBAL first/last knot lanes
+    (all-zero on interior shards); they replace the lane-position boundary
+    masks of build_kkt_schur_pallas, so slab-interior rows compute exactly
+    the global S/Pinv/gamma and halo-lane outputs are discarded by the
+    caller.  The terminal x_eval substitution (x_{N-1} -> x_{N-2},
+    config.py terminal quirk) is the caller's job, as in the batched path.
+    """
+    if cost.mode != "ee":
+        raise ValueError("pallas KKT+Schur kernel supports ee cost mode only")
+    nq = model.nq
+    nx = 2 * nq
+    Lext = xu_ext.shape[0]
+    dtype = xu_ext.dtype
+    rho_row = jnp.broadcast_to(jnp.asarray(rho, dtype), (1, Lext))
+    bmask = jnp.stack([first_mask.astype(dtype), last_mask.astype(dtype)])
+    dt_arr = jnp.asarray([dt], dtype)
+
+    S, P, gamma, Qinv, A, B, qv = pl.pallas_call(
+        _make_kkt_schur_kernel(nq, Lext, integrator_type,
+                               float(model.gravity), float(cost.qd_cost),
+                               float(cost.r_cost), angle_wrap,
+                               boundary_masks=True),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, nx, nx, Lext), dtype),
+            jax.ShapeDtypeStruct((3, nx, nx, Lext), dtype),
+            jax.ShapeDtypeStruct((nx, Lext), dtype),
+            jax.ShapeDtypeStruct((nx, nx, Lext), dtype),
+            jax.ShapeDtypeStruct((nx, nx, Lext), dtype),
+            jax.ShapeDtypeStruct((nx, nq, Lext), dtype),
+            jax.ShapeDtypeStruct((nx, Lext), dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(7)),
+        scratch_shapes=(
+            [pltpu.VMEM((nq, 6, Lext), dtype)] if Lext > 128 else []),
+        interpret=interpret,
+    )(xu_ext.T, x_eval_ext.T, ee_goal_ext[:, :3].T, rho_row, bmask, dt_arr,
+      model.xc, model.xs, model.xcos, model.inertia,
+      model.hc, model.hs, model.hcos)
+    return dict(S=S, Pinv=P, gamma=gamma, Qinv=Qinv, A=A, B=B, q=qv)
+
+
+def _make_dz_kernel(nq: int, N: int, knots: int | None = None,
+                    boundary_masks: bool = False):
     nx = 2 * nq
     knots = N if knots is None else knots
 
-    def kernel(lam_ref, Qinv_ref, A_ref, Bm_ref, qv_ref, u_ref, rho_ref,
-               scal_ref, dz_ref):
+    def kernel(lam_ref, *rest):
+        if boundary_masks:
+            # slab mode (parallel/sqp_sharded.py): lam_{k+1} arrives as a
+            # separate input (the shard exchanged its right halo already)
+            # and the global-last mask is a runtime (1, N) row
+            lamn_ref, lastm_ref = rest[0], rest[1]
+            rest = rest[2:]
+        else:
+            lamn_ref = lastm_ref = None
+            rest = rest
+        (Qinv_ref, A_ref, Bm_ref, qv_ref, u_ref, rho_ref,
+         scal_ref, dz_ref) = rest
         r_cost = scal_ref[0]
         rho_row = rho_ref[:]                                # (1, N)
         lam = lam_ref[:]                                    # (nx, N)
-        kvec = jax.lax.broadcasted_iota(jnp.int32, (nx, N), 1)
-        kq = jax.lax.broadcasted_iota(jnp.int32, (nq, N), 1)
-        if knots != N:                                      # packed instances
-            kvec = jax.lax.rem(kvec, jnp.int32(knots))
-            kq = jax.lax.rem(kq, jnp.int32(knots))
-        notl = (kvec <= knots - 2).astype(lam.dtype)
-        lam_n = pltpu.roll(lam, N - 1, axis=1) * notl       # lam_{k+1}, 0 at N-1
+        if boundary_masks:
+            notl = 1.0 - lastm_ref[:]                       # (1, N)
+            notlq = notl
+            lam_n = lamn_ref[:] * notl
+        else:
+            kvec = jax.lax.broadcasted_iota(jnp.int32, (nx, N), 1)
+            kq = jax.lax.broadcasted_iota(jnp.int32, (nq, N), 1)
+            if knots != N:                                  # packed instances
+                kvec = jax.lax.rem(kvec, jnp.int32(knots))
+                kq = jax.lax.rem(kq, jnp.int32(knots))
+            notl = (kvec <= knots - 2).astype(lam.dtype)
+            notlq = (kq <= knots - 2).astype(lam.dtype)
+            lam_n = pltpu.roll(lam, N - 1, axis=1) * notl   # lam_{k+1}, 0 at N-1
         rhs = qv_ref[:] - lam + _mvn_T(A_ref[:], lam_n) * notl
         dx = _mvn(Qinv_ref[:], rhs)
         # du = (R+rho I)^{-1} (r + B^T lam_{k+1})
         s_r = 1.0 / (r_cost + rho_row)
         u = u_ref[:]
         bt = _mvn_T(Bm_ref[:], lam_n)                       # B^T lam_+ (nq, N)
-        du = s_r * (r_cost * u + bt) * (kq <= knots - 2).astype(lam.dtype)
+        du = s_r * (r_cost * u + bt) * notlq
         dz_ref[:] = jnp.concatenate([dx, du], axis=0)
 
     return kernel
@@ -877,4 +975,34 @@ def compute_dz_pallas(lane_kkt: dict, lam, u, rho, r_cost,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
     )(lam.T, Qinv, lane_kkt["A"], lane_kkt["B"], lane_kkt["q"], u.T, rho_row, scal)
+    return dz_l.T
+
+
+@highest_precision
+@partial(jax.jit, static_argnames=("interpret",))
+def compute_dz_pallas_slab(lane_kkt: dict, lam, lam_next, last_mask, u, rho,
+                           r_cost, interpret: bool = False):
+    """dz recovery on one knot shard's slab (parallel/sqp_sharded.py).
+
+    lam (L, nx) is the shard's costate rows; lam_next (L, nx) is lam shifted
+    one knot left with the RIGHT neighbor's first row appended (the shard
+    exchanged that halo already); last_mask (L,) marks the global last knot
+    (its lam_{k+1} and du are structurally zero, dz.cuh:15-19).
+    """
+    Qinv = lane_kkt["Qinv"]
+    nx, _, L = Qinv.shape
+    nq = nx // 2
+    dtype = Qinv.dtype
+    rho_row = jnp.broadcast_to(jnp.asarray(rho, dtype), (1, L))
+    scal = jnp.asarray([r_cost], dtype)
+    lastm = last_mask.astype(dtype).reshape(1, L)
+    dz_l = pl.pallas_call(
+        _make_dz_kernel(nq, L, boundary_masks=True),
+        out_shape=jax.ShapeDtypeStruct((nx + nq, L), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(lam.T, lam_next.T, lastm, Qinv, lane_kkt["A"], lane_kkt["B"],
+      lane_kkt["q"], u.T, rho_row, scal)
     return dz_l.T

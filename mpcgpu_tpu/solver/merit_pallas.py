@@ -297,3 +297,69 @@ def line_search_merits_pallas(
     x0_res = jnp.sum(jnp.abs(cand[:, 0, :nx] - xs[None, :]), axis=1)
     merits = cost_tot + mu * (defect_tot + x0_res)
     return merits, alphas
+
+
+@highest_precision
+@partial(jax.jit, static_argnames=("cost", "num_alphas", "integrator_type",
+                                   "include_zero", "interpret", "angle_wrap"))
+def line_search_merit_partials_slab(
+    model: RobotModel, cost: CostConfig, xu_ext, dz_ext, ee_ext, dt,
+    num_alphas: int = 8, integrator_type: int = 0, include_zero: bool = True,
+    interpret: bool = False, angle_wrap: bool = False,
+):
+    """Per-lane line-search merit PARTIALS on one knot shard's slab
+    (parallel/sqp_sharded.py fused path).
+
+    xu_ext / dz_ext are (Lext, nx+nu) = the shard's L rows plus the right
+    neighbor's first row appended (so the local last interior row's defect
+    sees the correct next-knot candidate).  Returns (cost (A, Lext),
+    defect (A, Lext), alphas (A,)): the caller drops the halo lane, applies
+    the global-boundary corrections (terminal control-penalty drop, terminal
+    defect zero, initial-state residual), sums, and psums across shards —
+    the 8-stream line search of pcg/sqp.cuh:265-282 with its grid-wide
+    reduction replaced by one collective.
+    """
+    if cost.mode != "ee":
+        raise ValueError("pallas merit kernel supports ee cost mode only")
+    Lext, w = xu_ext.shape
+    nq = model.nq
+    dtype = xu_ext.dtype
+
+    alphas = -1.0 / (2.0 ** jnp.arange(num_alphas, dtype=dtype))
+    if include_zero:
+        alphas = jnp.concatenate([jnp.zeros((1,), dtype), alphas])
+    A = alphas.shape[0]
+    B = A * Lext
+
+    cand = (xu_ext[None, :, :] + alphas[:, None, None] * dz_ext[None, :, :])
+    cand_l = cand.reshape(B, w).T                          # (w, B)
+    goal_l = jnp.broadcast_to(
+        ee_ext[None, :, :3], (A, Lext, 3)).reshape(B, 3).T
+
+    dt_arr = jnp.asarray([dt], dtype)
+    ga = A
+    while ga > 1 and (ga * Lext > 2304 or A % ga):
+        ga -= 1
+    GA = A // ga
+    Bl = ga * Lext
+
+    out = pl.pallas_call(
+        _make_merit_kernel(nq, Lext, ga, integrator_type,
+                           float(model.gravity), float(cost.qd_cost),
+                           float(cost.r_cost), angle_wrap),
+        grid=(GA,),
+        out_shape=jax.ShapeDtypeStruct((2, B), dtype),
+        in_specs=[
+            pl.BlockSpec((w, Bl), lambda g: (0, g)),
+            pl.BlockSpec((3, Bl), lambda g: (0, g)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=pl.BlockSpec((2, Bl), lambda g: (0, g)),
+        interpret=interpret,
+    )(cand_l, goal_l, dt_arr,
+      model.xc, model.xs, model.xcos, model.inertia,
+      model.hc, model.hs, model.hcos)
+
+    per_lane = out.reshape(2, A, Lext)
+    return per_lane[0], per_lane[1], alphas

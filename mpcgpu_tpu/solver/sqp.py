@@ -102,12 +102,24 @@ def sqp_solve(
     # to the scratch-laundered CRBA + Sherman-Morrison Qinv + scalar-row
     # Cholesky theta-inverse formulation (see kkt_pallas._kkt_core) — the
     # original where/broadcast patterns abort the compiler there. Validated
-    # through N=512. The merit kernel holds to 9*N=2304 lanes; the PCG
-    # kernel is verified through N=512. Beyond a range, XLA twins take over.
-    use_pallas_kkt = use_pallas and N <= 512
+    # through N=512.  The fit decision is COMPUTED from (nq, N, dtype) — the
+    # checkPcgOccupancy analogue (track_iiwa_pcg.cu:24) — so unusual shapes
+    # fall back to the XLA twins with a logged reason instead of tripping a
+    # hardcoded horizon constant (utils/occupancy.py).
+    from mpcgpu_tpu.utils.occupancy import (check_merit_occupancy,
+                                            check_pcg_occupancy)
+
+    kkt_fits, kkt_reason = check_pcg_occupancy(model.nq, N, dtype)
+    use_pallas_kkt = use_pallas and kkt_fits
+    if use_pallas and not kkt_fits:
+        import logging
+
+        logging.getLogger("mpcgpu_tpu").info(
+            "fused kernel pipeline disabled, using XLA twins: %s", kkt_reason)
     # merit kernel splits the alpha axis over a Pallas grid beyond 2304
     # lanes (merit_pallas.py); a single alpha's N lanes must still fit
-    use_pallas_merit = use_pallas and N <= 2304
+    use_pallas_merit = use_pallas and check_merit_occupancy(
+        N, sqp_cfg.num_alphas + 1)[0]
     interpret = jax.default_backend() != "tpu"
     # fully-fused kernel pipeline: KKT+Schur+stair in one kernel emitting the
     # PCG kernel's lane layout directly, then lane-layout PCG, then dz kernel

@@ -29,18 +29,26 @@ def trajfile_dir() -> Path:
 
 
 def _find(fname: str) -> Path:
-    """Resolve per FILE with the trajfile_dir() preference order, falling
-    through to the next directory when the file is absent (the reference
-    ships only the 0_0 eepos trace, track_iiwa_pcg.cu:177; the generated
-    fixture set in data/trajfiles covers the full 5x5 grid)."""
+    """Resolve per FILE, falling through from the reference checkout to the
+    generated standalone fixtures when absent (the reference ships only the
+    0_0 eepos trace, track_iiwa_pcg.cu:177; the generated fixture set in
+    data/trajfiles covers the full 5x5 grid).  $MPCGPU_TPU_TRAJDIR, when
+    set, is authoritative: a missing file there is an error, never a silent
+    fall-through to a same-named fixture elsewhere."""
     env = os.environ.get("MPCGPU_TPU_TRAJDIR")
-    dirs = [Path(env)] if env else []
-    dirs += [_DEFAULT_DIR, _LOCAL_DIR]
-    for d in dirs:
+    if env:
+        p = Path(env) / fname
+        if not p.is_file():
+            raise FileNotFoundError(
+                f"{p} not found; $MPCGPU_TPU_TRAJDIR is set and treated as "
+                f"authoritative (unset it to fall back to the bundled "
+                f"fixtures)")
+        return p
+    for d in (_DEFAULT_DIR, _LOCAL_DIR):
         p = d / fname
         if p.is_file():
             return p
-    return dirs[0] / fname  # let the loader raise with the preferred path
+    return _DEFAULT_DIR / fname  # let the loader raise with the preferred path
 
 
 def load_xu_traj(name: str = "0_0", dtype=np.float64) -> np.ndarray:

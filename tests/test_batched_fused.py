@@ -101,6 +101,66 @@ def test_batched_pcg_matches_single(problem):
             err_msg=f"lam mismatch instance {b}")
 
 
+def _diag_btd_lanes(diag_vals, n, L, dtype=jnp.float32):
+    """Lane-layout block-diagonal BTD: S[1] diagonal, S[0] = S[2] = 0 — SPD
+    by construction.  diag_vals is (L,) (same for every row) or (n, L)."""
+    S = jnp.zeros((1, 3, n, n, L), dtype)
+    d = jnp.broadcast_to(jnp.asarray(diag_vals, dtype), (n, L))
+    eye = jnp.eye(n, dtype=dtype)[:, :, None] * d[:, None, :]
+    return S.at[0, 1].set(eye)
+
+
+def test_batched_pcg_zero_rhs_instance_no_nan_leak():
+    """A degenerate instance (zero rhs, zero warm start -> exactly-zero
+    residual, frozen from iteration 0) must not poison the other instances
+    in its lane group through 0/0 NaNs (ADVICE r2, batched_fused.py:248)."""
+    n, N, I = 4, 8, 2
+    L = I * N
+    dtype = jnp.float32
+    # distinct diagonal entries -> CG needs several iterations
+    diag = 1.0 + 0.1 * jnp.arange(L, dtype=dtype)
+    S = _diag_btd_lanes(diag, n, L)
+    Pinv = _diag_btd_lanes(jnp.ones((L,), dtype), n, L)
+    gamma = jnp.zeros((1, n, L), dtype)
+    gamma = gamma.at[0, :, N:].set(1.0)          # instance 1 healthy, 0 zero
+    lam0 = jnp.zeros((1, n, L), dtype)
+    lam, iters, conv = pcg_solve_batched_lanes(
+        S, Pinv, gamma, lam0, N, I, max_iter=60, exit_tol=1e-6,
+        interpret=True)
+    lam = np.asarray(lam)
+    assert np.isfinite(lam).all(), "NaN leaked from the frozen instance"
+    # frozen instance: exact zeros, 0 iterations, converged
+    np.testing.assert_array_equal(lam[0, :, :N], 0.0)
+    assert int(iters[0, 0]) == 0 and bool(conv[0, 0])
+    # healthy instance: solves the diagonal system lam = gamma / diag
+    expect = 1.0 / np.asarray(diag[N:])
+    np.testing.assert_allclose(lam[0, :, N:],
+                               np.broadcast_to(expect, (n, N)), atol=1e-3)
+    assert bool(conv[0, 1])
+
+
+def test_batched_pcg_iteration_cap_exact():
+    """Non-converged instances stop at EXACTLY max_iter, not max_iter +
+    unroll - 1 (ADVICE r2, batched_fused.py:280)."""
+    n, N, I = 4, 8, 2
+    L = I * N
+    dtype = jnp.float32
+    # distinct eigenvalue per (row, lane): 32 per instance, so exact CG
+    # convergence (and the 0/0 breakdown after it) sits beyond the cap
+    diag = 1.0 + 0.05 * jnp.arange(n * L, dtype=dtype).reshape(n, L)
+    S = _diag_btd_lanes(diag, n, L)
+    Pinv = _diag_btd_lanes(jnp.ones((L,), dtype), n, L)
+    gamma = jnp.ones((1, n, L), dtype)
+    lam0 = jnp.zeros((1, n, L), dtype)
+    # tol=0 can never fire -> every instance runs to the cap
+    lam, iters, conv = pcg_solve_batched_lanes(
+        S, Pinv, gamma, lam0, N, I, max_iter=21, exit_tol=0.0,
+        unroll=4, interpret=True)
+    assert np.asarray(iters).tolist() == [[21, 21]]
+    assert not np.asarray(conv).any()
+    assert np.isfinite(np.asarray(lam)).all()
+
+
 def test_batched_fused_sqp_matches_vmap(problem):
     from mpcgpu_tpu.solver.sqp import sqp_solve
 

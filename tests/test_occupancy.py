@@ -1,0 +1,49 @@
+"""VMEM-fit precheck (utils/occupancy.py) — the checkPcgOccupancy analogue
+(track_iiwa_pcg.cu:24): fallback decisions must be computed from
+(nq, N, dtype), not hardcoded horizon constants."""
+
+import jax.numpy as jnp
+
+from mpcgpu_tpu.utils.occupancy import (
+    MOSAIC_VALIDATED_MAX_KNOT_LANES, check_merit_occupancy,
+    check_pcg_occupancy, fused_pipeline_vmem_bytes, vmem_budget_bytes)
+
+
+def test_validated_operating_points_fit():
+    for N in (32, 64, 128, 256, 512):
+        ok, reason = check_pcg_occupancy(7, N, jnp.float32)
+        assert ok, reason
+
+
+def test_footprint_scales_with_shape():
+    base = fused_pipeline_vmem_bytes(7, 64, jnp.float32)
+    assert fused_pipeline_vmem_bytes(7, 128, jnp.float32) == 2 * base
+    assert fused_pipeline_vmem_bytes(7, 64, jnp.float64) == 2 * base
+    assert fused_pipeline_vmem_bytes(14, 64, jnp.float32) > 3 * base
+
+
+def test_oversize_nq_falls_back_on_vmem():
+    ok, reason = check_pcg_occupancy(64, 512, jnp.float32)
+    assert not ok
+    assert "VMEM" in reason and "MPCGPU_TPU_VMEM_BUDGET_MB" in reason
+
+
+def test_oversize_horizon_falls_back_on_lane_envelope():
+    ok, reason = check_pcg_occupancy(7, 1024, jnp.float32)
+    assert not ok
+    assert str(MOSAIC_VALIDATED_MAX_KNOT_LANES) in reason
+
+
+def test_budget_env_override(monkeypatch):
+    monkeypatch.setenv("MPCGPU_TPU_VMEM_BUDGET_MB", "1000")
+    assert vmem_budget_bytes() == 1000 * (1 << 20)
+    ok, _ = check_pcg_occupancy(64, 512, jnp.float32)
+    assert ok  # the same oversize shape fits under the raised budget
+    monkeypatch.setenv("MPCGPU_TPU_VMEM_BUDGET_MB", "0.1")
+    ok, _ = check_pcg_occupancy(7, 32, jnp.float32)
+    assert not ok
+
+
+def test_merit_lane_bound():
+    assert check_merit_occupancy(2304, 9)[0]
+    assert not check_merit_occupancy(2305, 9)[0]
