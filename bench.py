@@ -59,7 +59,7 @@ def main():
     linsys = "pcg_pallas" if jax.default_backend() == "tpu" else "pcg"
     K = 256
 
-    def make_chain(linsys):
+    def make_chain(linsys, pcg_cfg):
         @jax.jit
         def chain(xu0, lam0, xs0, ee0, rho0):
             def body(i, carry):
@@ -85,33 +85,44 @@ def main():
 
         return chain
 
-    try:
-        fn = make_chain(linsys)
+    def run(linsys, pcg_cfg):
+        """(median us/solve over 5 chains, mean pcg iters) or None."""
+        fn = make_chain(linsys, pcg_cfg)
         out = fn(xu, lam, xs, ee0, rho)
         jax.block_until_ready(out)
+        samples = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out = fn(xu, lam, xs, ee0, rho)
+            jax.block_until_ready(out)
+            samples.append((time.perf_counter() - t0) * 1e6 / K)
+        return float(np.median(samples)), float(np.asarray(out[5])) / K
+
+    import dataclasses
+
+    rnorm_cfg = dataclasses.replace(pcg_cfg, exit_criterion="rnorm")
+    try:
+        med, iters = run(linsys, rnorm_cfg)
     except Exception:
         linsys = "pcg"
-        fn = make_chain(linsys)
-        out = fn(xu, lam, xs, ee0, rho)
-        jax.block_until_ready(out)
+        med, iters = run(linsys, rnorm_cfg)
+    eta_med, eta_iters = run(linsys, pcg_cfg)
 
-    samples = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        out = fn(xu, lam, xs, ee0, rho)
-        jax.block_until_ready(out)
-        samples.append((time.perf_counter() - t0) * 1e6 / K)
-    med = float(np.median(samples))
-    mean_pcg_iters = float(np.asarray(out[5])) / K
-
+    # headline = the REFERENCE's exit semantics (||r|| < tol, GBD-PCG /
+    # SURVEY.md C17) at the reference tolerance, so the 2 ms budget margin is
+    # measured at the reference's accuracy operating point; the eta-exit
+    # variant (this framework's cheaper native criterion) is reported
+    # alongside (VERDICT r2 items 3/10)
     print(
         json.dumps(
             dict(
-                metric="sqp_pcg_iteration_latency_iiwa_n64",
+                metric="sqp_pcg_iteration_latency_iiwa_n64_rnorm",
                 value=round(med, 1),
                 unit="us",
                 vs_baseline=round(2000.0 / med, 3),
-                mean_pcg_iters=round(mean_pcg_iters, 1),
+                mean_pcg_iters=round(iters, 1),
+                eta_us=round(eta_med, 1),
+                eta_mean_pcg_iters=round(eta_iters, 1),
                 chain_len=K,
                 linsys=linsys,
             )

@@ -48,6 +48,15 @@ def main():
     ap.add_argument("--ondevice", action="store_true",
                     help="run the whole closed loop as ONE jitted scan "
                          "(no per-control-step host dispatch)")
+    ap.add_argument("--remove-jitters", type=int, default=0,
+                    help="discarded warm-up solves before the tracking loop "
+                         "(REMOVE_JITTERS, mpcsim.cuh:222-242; the reference "
+                         "defaults to 100 — here jit caching makes warm-up "
+                         "redundant beyond the single compile call, so the "
+                         "default is 0)")
+    ap.add_argument("--live-print-path", action="store_true",
+                    help="stream the measured state every control step "
+                         "(LIVE_PRINT_PATH, settings.cuh:20-26)")
     args = ap.parse_args()
 
     model = iiwa14(dtype=jnp.float32)
@@ -118,7 +127,8 @@ def main():
                     pcg_cfg=PCGConfig(max_iter=PCGConfig.tuned_max_iter(args.knots),
                                       exit_tol=tol,
                                       exit_criterion=args.exit_criterion),
-                    sim_cfg=SimConfig(),
+                    sim_cfg=SimConfig(remove_jitters=args.remove_jitters,
+                                      live_print_path=args.live_print_path),
                     linsys="pcg",
                     verbose=args.verbose,
                 )

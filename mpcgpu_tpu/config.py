@@ -59,6 +59,21 @@ class PCGConfig:
     # (SURVEY.md C17) so the reference's tolerance tables
     # (track_iiwa_pcg.cu:46-73) transfer directly.
     exit_criterion: str = "eta"
+    # Per-SQP-iteration forcing tolerance (Eisenstat-Walker style; the
+    # reference always solves at the fixed exit_tol).  'fixed' = exit_tol
+    # every iteration.  'ew' = the first linear solve runs at
+    # exit_tol * ew_boost0 and the tolerance tightens every successful
+    # iteration by min(ew_decay, merit_ratio^ew_alpha) — the merit-ratio
+    # term tracks fast nonlinear progress, the geometric ew_decay floor
+    # guarantees the target tolerance is reached even when the merit
+    # plateaus (it converges to a nonzero tracking cost, unlike a root-
+    # finding residual); a line-search failure drops straight to the target
+    # tolerance.  Early SQP iterations don't pay for residual accuracy the
+    # outer linearization error would waste anyway.
+    forcing: str = "fixed"
+    ew_boost0: float = 100.0
+    ew_alpha: float = 1.5
+    ew_decay: float = 0.1
 
     @staticmethod
     def tuned_max_iter(knot_points: int) -> int:
@@ -89,7 +104,16 @@ class SimConfig:
     shift_threshold_frac: float = 1.0       # SHIFT_THRESHOLD = frac * timestep
     sim_step_time: float = 2e-4             # plant substep (integrator.cuh:304)
     max_control_updates: int = 100000
-    remove_jitters: int = 0                 # warm-up solve count (mpcsim.cuh:222-242)
+    # Warm-up solve count (REMOVE_JITTERS, mpcsim.cuh:222-242).  The
+    # reference defaults to 100 discarded solves — partly masking its
+    # per-call cudaMalloc and first-launch latency.  Here one warm call is
+    # always made to compile the program (jit caches it), so the default is
+    # 0 extra; set 100 to replicate the reference protocol exactly (the
+    # drivers expose --remove-jitters).
+    remove_jitters: int = 0
+    # stream the measured state every control step
+    # (LIVE_PRINT_PATH, settings.cuh:20-26, mpcsim.cuh:256-262)
+    live_print_path: bool = False
     # when True, enforce SQP_MAX_TIME_US (sqpTimecheck, pcg/sqp.cuh:161-169).
     time_budget_mode: bool = False
     # 'ondevice' (default): one-time calibration measures the per-SQP-

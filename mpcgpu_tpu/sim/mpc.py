@@ -361,6 +361,10 @@ def simulate_mpc(
 
         stats.tracking_path.append(xs)
 
+        if sim_cfg.live_print_path:
+            # LIVE_PRINT_PATH (settings.cuh:20-26, mpcsim.cuh:256-262):
+            # stream the measured state every control step
+            print(" ".join(f"{v:.6f}" for v in np.asarray(xs)))
         if verbose and step % 200 == 0:
             print(
                 f"step {step:5d} offset {traj_offset:4d} sqp {sqp_time_us:8.1f}us"

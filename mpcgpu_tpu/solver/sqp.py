@@ -143,7 +143,7 @@ def sqp_solve(
             return build_kkt(model, cost, xu, xs, ee_goal, dt, integrator_type,
                              angle_wrap)
 
-    def fused_step(xu, lam, rho):
+    def fused_step(xu, lam, rho, lin_tol):
         """KKT -> Schur -> linsys -> dz entirely through the lane kernels."""
         from mpcgpu_tpu.ops.pcg_pallas import pcg_solve_pallas_lanes
         from mpcgpu_tpu.solver.kkt_pallas import (
@@ -155,7 +155,7 @@ def sqp_solve(
         )
         res = pcg_solve_pallas_lanes(
             lane["S"], lane["Pinv"], lane["gamma"], lam.T,
-            max_iter=pcg_cfg.max_iter, exit_tol=pcg_cfg.exit_tol,
+            max_iter=pcg_cfg.max_iter, exit_tol=lin_tol,
             exit_criterion=pcg_cfg.exit_criterion, interpret=interpret,
         )
         lam_new = res.lam.T
@@ -164,11 +164,11 @@ def sqp_solve(
         )
         return lam_new, res.iters, res.converged, dz
 
-    def solve_linsys(schur, lam):
+    def solve_linsys(schur, lam, lin_tol):
         if linsys == "pcg":
             res = pcg_solve(
                 schur.S, schur.Pinv, schur.gamma, lam,
-                max_iter=pcg_cfg.max_iter, exit_tol=pcg_cfg.exit_tol,
+                max_iter=pcg_cfg.max_iter, exit_tol=lin_tol,
                 exit_criterion=pcg_cfg.exit_criterion,
             )
             return res.lam, res.iters, res.converged
@@ -177,7 +177,7 @@ def sqp_solve(
 
             res = pcg_solve_pallas(
                 schur.S, schur.Pinv, schur.gamma, lam,
-                max_iter=pcg_cfg.max_iter, exit_tol=pcg_cfg.exit_tol,
+                max_iter=pcg_cfg.max_iter, exit_tol=lin_tol,
                 exit_criterion=pcg_cfg.exit_criterion,
                 interpret=jax.default_backend() != "tpu",
             )
@@ -211,15 +211,16 @@ def sqp_solve(
     def body(state):
         xu, lam, rho, drho = state["xu"], state["lam"], state["rho"], state["drho"]
         it = state["it"]
+        lin_tol = state["lin_tol"]
 
         if fused:
-            lam, lin_iters, lin_ok, dz = fused_step(xu, lam, rho)
+            lam, lin_iters, lin_ok, dz = fused_step(xu, lam, rho, lin_tol)
         else:
             kkt = make_kkt(xu)
             schur = form_schur_system(
                 kkt, rho, preconditioner=pcg_cfg.preconditioner
             )
-            lam, lin_iters, lin_ok = solve_linsys(schur, lam)
+            lam, lin_iters, lin_ok = solve_linsys(schur, lam, lin_tol)
             dz = compute_dz(kkt, schur, lam)
 
         if use_pallas_merit:
@@ -256,6 +257,19 @@ def sqp_solve(
         merit_new = jnp.where(success, min_merit, merit_cur)
         stop = jnp.logical_and(~success, gave_up)
 
+        # Eisenstat-Walker-style forcing: decay the linear-solve tolerance
+        # boost with the merit-decrease ratio; a failed line search drops
+        # straight to full accuracy (config.py PCGConfig.forcing)
+        if pcg_cfg.forcing == "ew":
+            ratio = jnp.clip(min_merit / jnp.maximum(merit_cur, 1e-30), 0.0, 1.0)
+            factor = jnp.minimum(
+                jnp.asarray(pcg_cfg.ew_decay, dtype),
+                jnp.power(ratio, jnp.asarray(pcg_cfg.ew_alpha, dtype)))
+            decayed = jnp.maximum(exit_tol_target, lin_tol * factor)
+            lin_tol_new = jnp.where(success, decayed, exit_tol_target)
+        else:
+            lin_tol_new = lin_tol
+
         return dict(
             xu=xu_new,
             lam=lam,
@@ -264,6 +278,7 @@ def sqp_solve(
             merit=merit_new,
             it=it + 1,
             stop=stop,
+            lin_tol=lin_tol_new,
             gave_up=jnp.logical_or(state["gave_up"], jnp.logical_and(~success, gave_up)),
             pcg_iters=state["pcg_iters"].at[it].set(lin_iters),
             pcg_converged=state["pcg_converged"].at[it].set(lin_ok),
@@ -272,6 +287,9 @@ def sqp_solve(
             ),
         )
 
+    exit_tol_target = jnp.asarray(pcg_cfg.exit_tol, dtype)
+    lin_tol0 = (exit_tol_target * jnp.asarray(pcg_cfg.ew_boost0, dtype)
+                if pcg_cfg.forcing == "ew" else exit_tol_target)
     init = dict(
         xu=xu,
         lam=lam,
@@ -284,6 +302,7 @@ def sqp_solve(
         pcg_iters=jnp.full((max_iter,), -1, jnp.int32),
         pcg_converged=jnp.zeros((max_iter,), jnp.bool_),
         ls_alpha_idx=jnp.full((max_iter,), -1, jnp.int32),
+        lin_tol=lin_tol0,
     )
     final = jax.lax.while_loop(cond, body, init)
     return SQPResult(

@@ -18,18 +18,11 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 
-import pytest
-
-
-@pytest.fixture(autouse=True, scope="module")
-def _clear_jax_caches_between_modules():
-    """Drop compiled executables between test modules.
-
-    A full-suite run accumulates ~70 large compiled programs in one process;
-    on this single-CPU box the XLA CPU compiler segfaults intermittently
-    late in such sessions (observed twice at ~test 68, inside
-    backend_compile_and_load; the same tests pass in isolation).  Bounding
-    the live-executable population avoids the unstable regime at the cost
-    of a few cross-module recompiles."""
-    yield
-    jax.clear_caches()
+# Full-suite process isolation: one process accumulating all ~90 compiled
+# programs hit intermittent XLA CPU compiler segfaults late in the session
+# (round 2, ~test 68, inside backend_compile_and_load; the same tests pass
+# in isolation).  Rather than the round-2 workaround (a module-scope
+# jax.clear_caches() fixture), the suite now distributes MODULES across
+# worker processes (pytest-xdist loadscope, pyproject addopts), bounding
+# each process's live-executable population structurally.  Tests within a
+# module still share cached compilations.

@@ -116,3 +116,45 @@ def test_double_precision_solve():
                           PCGConfig(max_iter=500, exit_tol=1e-16),
                           xu, lam, xs, ee, 1e-3, 1 / 64.0, linsys="pcg")
     assert bool(res_tight.pcg_converged[0])
+
+
+def test_eisenstat_walker_forcing():
+    """PCGConfig.forcing='ew' (per-SQP-iteration forcing tolerance) reaches
+    the same solution quality as fixed-tolerance while spending fewer total
+    PCG iterations — the rnorm-cost lever of the round-3 accuracy-parity
+    work (VERDICT r2 item 3)."""
+    import jax
+
+    from mpcgpu_tpu.utils.trajfiles import load_eepos_traj, load_xu_traj
+
+    N = 16
+    model = iiwa14(dtype=jnp.float32)
+    cost = CostConfig.for_knots(N)
+    xu = jnp.asarray(load_xu_traj("0_0")[:N], jnp.float32)
+    xu = xu + 0.05 * jax.random.normal(jax.random.PRNGKey(7), xu.shape, jnp.float32)
+    ee = jnp.asarray(load_eepos_traj("0_0")[:N], jnp.float32)
+    xs = xu[0, :14]
+    lam = jnp.zeros((N, 14), jnp.float32)
+    # NOTE: the measured saving is small (~1-3% of total PCG iterations at
+    # N=16): the stair-preconditioned residual drops steeply only near
+    # convergence, so a looser early tolerance buys few iterations — see
+    # PARITY.md's forcing study.  At >= 10 SQP iterations EW is
+    # simultaneously cheaper AND equal-or-better merit.
+    scfg = SQPConfig(max_iter=10)
+
+    fixed = sqp_solve(model, cost, scfg,
+                      PCGConfig(max_iter=200, exit_tol=1e-6,
+                                exit_criterion="rnorm"),
+                      xu, lam, xs, ee, 1e-3, DT, linsys="pcg")
+    ew = sqp_solve(model, cost, scfg,
+                   PCGConfig(max_iter=200, exit_tol=1e-6,
+                             exit_criterion="rnorm", forcing="ew"),
+                   xu, lam, xs, ee, 1e-3, DT, linsys="pcg")
+
+    it_fixed = int(np.sum(np.asarray(fixed.pcg_iters)[np.asarray(fixed.pcg_iters) >= 0]))
+    it_ew = int(np.sum(np.asarray(ew.pcg_iters)[np.asarray(ew.pcg_iters) >= 0]))
+    assert it_ew < it_fixed, (it_ew, it_fixed)
+    # same solution quality: final merit within 1% of the fixed-tol solve
+    m_fixed = float(fixed.merit)
+    m_ew = float(ew.merit)
+    assert m_ew <= m_fixed * 1.01 + 1e-6, (m_ew, m_fixed)

@@ -1,0 +1,198 @@
+#!/usr/bin/env python3
+"""On-TPU COMPILED-kernel smoke pass (VERDICT r2 item 4).
+
+Every Pallas kernel's equality test in tests/ runs interpret-mode on CPU
+(tests/conftest.py), so compiled Mosaic correctness on real hardware was only
+exercised implicitly by benchmarks at the tuned horizons — and one flag flip
+(the N>128 laundered CRBA path) already produced a silent wrong-answer class
+in round 1.  This script runs every kernel COMPILED on the real chip at every
+tuned horizon and checks it against its XLA twin, in one command:
+
+    python tools/tpu_smoke.py [--knots 32 64 128 256 512] [--skip-slow]
+
+Covers: KKT kernel, fused KKT+Schur+stair, lane PCG, dz, merit, plant step,
+PCR, and the batched gridded pipeline.  Prints one PASS/FAIL line per
+(kernel, N) and exits nonzero on any failure.
+
+NOTE: first compile of the big fused kernels at N>=256 takes ~6 min each
+(Mosaic); set JAX_COMPILATION_CACHE_DIR (bench.py default) to amortize.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FAILURES = []
+
+
+def check(name, N, got, want, atol_scale=2e-5):
+    got = np.asarray(got, np.float64)
+    want = np.asarray(want, np.float64)
+    scale = max(float(np.max(np.abs(want))), 1.0)
+    ok = np.isfinite(got).all() and np.allclose(got, want, atol=atol_scale * scale)
+    err = float(np.max(np.abs(got - want))) if got.shape == want.shape else float("nan")
+    print(f"{'PASS' if ok else 'FAIL'}  {name:28s} N={N:<4d} max|d|={err:.3e} "
+          f"(scale {scale:.1e})", flush=True)
+    if not ok:
+        FAILURES.append((name, N))
+
+
+def problem(N, dtype=jnp.float32):
+    from mpcgpu_tpu.config import CostConfig
+    from mpcgpu_tpu.models import iiwa14
+    from mpcgpu_tpu.utils.trajfiles import load_eepos_traj, load_xu_traj
+
+    model = iiwa14(dtype=dtype)
+    cost = CostConfig.for_knots(N)
+    xu_full = load_xu_traj("0_0")
+    reps = int(np.ceil(N / xu_full.shape[0]))
+    xu = jnp.asarray(np.tile(xu_full, (reps, 1))[:N], dtype)
+    ee = jnp.asarray(np.tile(load_eepos_traj("0_0"), (reps, 1))[:N], dtype)
+    xu = xu + 0.01 * jax.random.normal(jax.random.PRNGKey(0), xu.shape, dtype)
+    return model, cost, xu, ee
+
+
+def run_for_knots(N, skip_slow=False):
+    from mpcgpu_tpu.config import PCGConfig
+    from mpcgpu_tpu.ops.pcg import pcg_solve
+    from mpcgpu_tpu.ops.pcg_pallas import pcg_solve_pallas
+    from mpcgpu_tpu.ops.schur import compute_dz, form_schur_system
+    from mpcgpu_tpu.solver.kkt import build_kkt
+    from mpcgpu_tpu.solver.kkt_pallas import (build_kkt_pallas,
+                                              build_kkt_schur_pallas,
+                                              compute_dz_pallas)
+    from mpcgpu_tpu.solver.merit import line_search_merits
+    from mpcgpu_tpu.solver.merit_pallas import line_search_merits_pallas
+
+    model, cost, xu, ee = problem(N)
+    xs = xu[0, :14]
+    rho = jnp.float32(1e-3)
+    dt = 1.0 / 64.0
+    t0 = time.time()
+
+    # --- KKT kernel vs XLA twin ---
+    kkt_p = build_kkt_pallas(model, cost, xu, xs, ee, dt)
+    kkt_x = build_kkt(model, cost, xu, xs, ee, dt)
+    for f in ("Q", "q", "A", "B", "c"):
+        check(f"kkt.{f}", N, getattr(kkt_p, f), getattr(kkt_x, f))
+
+    # --- fused KKT+Schur+stair vs XLA twins ---
+    lane = build_kkt_schur_pallas(model, cost, xu, xs, ee, rho, dt)
+    schur = form_schur_system(kkt_x, rho)
+    check("schur.S", N, jnp.transpose(lane["S"], (3, 0, 1, 2)), schur.S)
+    check("schur.Pinv", N, jnp.transpose(lane["Pinv"], (3, 0, 1, 2)), schur.Pinv,
+          atol_scale=3e-5)
+    check("schur.gamma", N, lane["gamma"].T, schur.gamma)
+
+    # --- PCG kernel vs XLA while-loop PCG (f32 CG on cond~1e5: compare
+    # converged solutions at a realistic tolerance) ---
+    lam0 = jnp.zeros_like(schur.gamma)
+    cap = PCGConfig.tuned_max_iter(N)
+    res_p = pcg_solve_pallas(schur.S, schur.Pinv, schur.gamma, lam0,
+                             max_iter=cap, exit_tol=1e-7)
+    res_x = pcg_solve(schur.S, schur.Pinv, schur.gamma, lam0,
+                      max_iter=cap, exit_tol=1e-7)
+    check("pcg.lam", N, res_p.lam, res_x.lam, atol_scale=5e-4)
+    print(f"      pcg iters: pallas={int(res_p.iters)} xla={int(res_x.iters)}")
+
+    # --- dz kernel ---
+    dz_p = compute_dz_pallas(lane, res_x.lam, xu[:, 14:], rho, cost.r_cost)
+    dz_x = compute_dz(kkt_x, schur, res_x.lam)
+    check("dz", N, dz_p, dz_x)
+
+    # --- merit kernel ---
+    m_p, _ = line_search_merits_pallas(model, cost, xu, dz_x, xs, ee,
+                                       10.0, dt)
+    m_x, _ = line_search_merits(model, cost, xu, dz_x, xs, ee, 10.0, dt)
+    check("merit", N, m_p, m_x)
+
+    # --- plant step kernel (sim/plant_pallas.py) ---
+    try:
+        from mpcgpu_tpu.sim.plant_pallas import simulate_plant_pallas
+        from mpcgpu_tpu.sim.plant import simulate_plant
+
+        sim_steps = 8
+        x0 = xu[0, :14]
+        u_seq = jnp.broadcast_to(xu[0, 14:], (sim_steps, 7))
+        xp = simulate_plant_pallas(model, x0, u_seq, 2e-4)
+        xx = simulate_plant(model, x0, u_seq, 2e-4)
+        check("plant", N, xp, xx)
+    except ImportError:
+        pass
+
+    # --- PCR kernel (parallel cyclic reduction) ---
+    if not skip_slow:
+        try:
+            from mpcgpu_tpu.ops.pcr import pcr_solve_refined
+            from mpcgpu_tpu.ops.pcr_pallas import pcr_solve_pallas
+
+            sol_p = pcr_solve_pallas(schur.S, schur.gamma, refine=1)
+            sol_x = pcr_solve_refined(schur.S, schur.gamma, refine=1)
+            check("pcr", N, sol_p, sol_x, atol_scale=5e-4)
+        except ImportError:
+            pass
+
+    print(f"      [{N=} done in {time.time() - t0:.1f}s]", flush=True)
+
+
+def run_batched(skip_slow=False):
+    """Batched gridded fused pipeline vs vmapped unfused (N=32, I=4)."""
+    from mpcgpu_tpu.config import CostConfig, PCGConfig, SQPConfig
+    from mpcgpu_tpu.parallel.batched import make_batched_sqp_solver
+
+    N, B = 32, 8
+    model, cost, xu, ee = problem(N)
+    xu_b = jnp.broadcast_to(xu, (B,) + xu.shape)
+    xs_b = xu_b[:, 0, :14]
+    ee_b = jnp.broadcast_to(ee, (B,) + ee.shape)
+    lam_b = jnp.zeros((B, N, 14), jnp.float32)
+    rho_b = jnp.full((B,), 1e-3, jnp.float32)
+    scfg = SQPConfig(max_iter=2)
+    pcfg = PCGConfig(max_iter=40, exit_tol=1e-6)
+    fused = make_batched_sqp_solver(model, cost, scfg, pcfg, 1 / 64.0,
+                                    fused=True, donate=False)
+    unfused = make_batched_sqp_solver(model, cost, scfg, pcfg, 1 / 64.0,
+                                      fused=False, donate=False)
+    rf = fused(xu_b, lam_b, xs_b, ee_b, rho_b)
+    ru = unfused(xu_b, lam_b, xs_b, ee_b, rho_b)
+    check("batched_fused.xu", N, rf.xu, ru.xu, atol_scale=5e-4)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--knots", type=int, nargs="+",
+                    default=[32, 64, 128, 256, 512])
+    ap.add_argument("--skip-slow", action="store_true",
+                    help="skip PCR and the batched pipeline")
+    args = ap.parse_args()
+
+    backend = jax.default_backend()
+    print(f"backend: {backend} ({jax.devices()})")
+    if backend != "tpu":
+        print("WARNING: not on TPU — kernels will run in interpret mode "
+              "only if callers force it; this pass is meant for the chip")
+
+    for N in args.knots:
+        run_for_knots(N, skip_slow=args.skip_slow)
+    if not args.skip_slow:
+        run_batched()
+
+    if FAILURES:
+        print(f"\n{len(FAILURES)} FAILURES: {FAILURES}")
+        sys.exit(1)
+    print("\nall compiled-kernel checks passed")
+
+
+if __name__ == "__main__":
+    main()
