@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--iters", type=int, default=67,
                     help="fixed PCG iteration count (tuned cap for N=512)")
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--method", default="pipelined",
+                    choices=["pipelined", "classic"],
+                    help="sharded CG formulation (parallel/pcg_sharded.py): "
+                    "pipelined = 1 psum + 1 halo exchange per iteration")
     args = ap.parse_args()
 
     import jax
@@ -69,7 +73,7 @@ def main():
         def run():
             out = pcg_solve_sharded(
                 schur.S, schur.Pinv, schur.gamma, lam0, mesh,
-                max_iter=args.iters, exit_tol=0.0)
+                max_iter=args.iters, exit_tol=0.0, method=args.method)
             return out
 
         out = run()
@@ -91,6 +95,7 @@ def main():
         print(json.dumps(rows[-1]))
 
     print(json.dumps(dict(metric="pcg_sharded_scaling", knots=N,
+                          method=args.method,
                           backend=jax.default_backend(), nnz=nnz,
                           table=rows)))
 

@@ -51,7 +51,10 @@ class PCGConfig:
     max_iter: int = 173
     exit_tol: float = 1e-5
     # 'stair' = symmetric-stair preconditioner (pcg/linsys_setup.cuh:9-137),
-    # 'jacobi' = block-diagonal only, 'none' = identity.
+    # 'jacobi' = block-diagonal only, 'none' = identity, 'stair2' = stair
+    # plus the next Neumann term (block-pentadiagonal, unconditionally SPD;
+    # XLA PCG path only — measured workload-neutral at operating tolerances,
+    # see PARITY.md preconditioner-variant study / benchmarks/precond_study.py).
     preconditioner: str = "stair"
     # Exit test metric. 'eta' (default) exits on |r . P^{-1} r| < exit_tol —
     # the natural CG quantity, computed for free each iteration. 'rnorm'

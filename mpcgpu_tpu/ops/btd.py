@@ -16,18 +16,23 @@ import jax.numpy as jnp
 
 
 def btd_matvec(S: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """y = S @ x for BTD S (N,3,n,n) and block vector x (N,n).
+    """y = S @ x for block-banded S (N,2b+1,n,n) and block vector x (N,n).
 
-    The reference does this one thread-block per block-row inside the PCG
-    kernel (GBD-PCG, inferred); here it is three batched matvecs + shifts,
-    which XLA fuses into one pass.
+    Slot b+d of row k holds block (k, k+d); the common case is the BTD
+    b=1 layout documented above.  The reference does this one thread-block
+    per block-row inside the PCG kernel (GBD-PCG, inferred); here it is
+    2b+1 batched matvecs + shifts, which XLA fuses into one pass.
     """
-    diag = jnp.einsum("kij,kj->ki", S[:, 1], x)
-    lo = jnp.einsum("kij,kj->ki", S[1:, 0], x[:-1])
-    hi = jnp.einsum("kij,kj->ki", S[:-1, 2], x[1:])
-    y = diag
-    y = y.at[1:].add(lo)
-    y = y.at[:-1].add(hi)
+    nbands = S.shape[1]
+    half = nbands // 2
+    y = jnp.einsum("kij,kj->ki", S[:, half], x)
+    for d in range(1, half + 1):
+        # slot half-d: block (k, k-d), valid for k >= d
+        lo = jnp.einsum("kij,kj->ki", S[d:, half - d], x[:-d])
+        # slot half+d: block (k, k+d), valid for k <= N-1-d
+        hi = jnp.einsum("kij,kj->ki", S[:-d, half + d], x[d:])
+        y = y.at[d:].add(lo)
+        y = y.at[:-d].add(hi)
     return y
 
 

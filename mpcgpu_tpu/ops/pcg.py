@@ -29,13 +29,15 @@ class PCGResult(NamedTuple):
 
 
 @highest_precision
-@partial(jax.jit, static_argnames=("max_iter", "exit_criterion"))
+@partial(jax.jit, static_argnames=("max_iter", "exit_criterion", "precond_poly"))
 def pcg_solve(S, Pinv, gamma, lam0, max_iter: int = 173, exit_tol=1e-6,
-              exit_criterion: str = "eta") -> PCGResult:
-    """Solve S lam = gamma with BTD S and BTD preconditioner Pinv.
+              exit_criterion: str = "eta", precond_poly: int = 1) -> PCGResult:
+    """Solve S lam = gamma with BTD S and block-banded preconditioner Pinv.
 
     Args:
-      S, Pinv: (N, 3, n, n) BTD matrices (see ops/btd.py).
+      S: (N, 3, n, n) BTD matrix (see ops/btd.py).
+      Pinv: (N, 2b+1, n, n) block-banded preconditioner (3 bands for
+        jacobi/stair, 5 for stair2).
       gamma: (N, n) rhs.
       lam0: (N, n) warm start (the reference warm-starts from the previous
         MPC step's multipliers, mpcsim.cuh:186-190).
@@ -43,11 +45,23 @@ def pcg_solve(S, Pinv, gamma, lam0, max_iter: int = 173, exit_tol=1e-6,
       exit_tol: tolerance on the exit metric.
       exit_criterion: "eta" = |r . P^{-1} r| < exit_tol; "rnorm" = the
         reference/GBD-PCG criterion ||r||_2 < exit_tol (SURVEY.md C17).
+      precond_poly: 1 applies Pinv directly; 2 applies the first-order
+        polynomial refinement z = (2 Pinv - Pinv S Pinv) r (one extra S and
+        Pinv matvec per iteration; SPD only while lambda_max(S Pinv) < 2 —
+        an experimental knob, see benchmarks/precond_study.py).
     """
     if exit_criterion not in ("eta", "rnorm"):
         raise ValueError(f"unknown exit_criterion {exit_criterion!r}")
+    if precond_poly not in (1, 2):
+        raise ValueError(f"precond_poly must be 1 or 2, got {precond_poly}")
     dtype = gamma.dtype
     exit_tol = jnp.asarray(exit_tol, dtype)
+
+    def apply_precond(r):
+        z = btd_matvec(Pinv, r)
+        if precond_poly == 2:
+            z = 2.0 * z - btd_matvec(Pinv, btd_matvec(S, z))
+        return z
 
     def exit_test(r, eta):
         if exit_criterion == "rnorm":
@@ -55,7 +69,7 @@ def pcg_solve(S, Pinv, gamma, lam0, max_iter: int = 173, exit_tol=1e-6,
         return jnp.abs(eta) < exit_tol
 
     r0 = gamma - btd_matvec(S, lam0)
-    z0 = btd_matvec(Pinv, r0)
+    z0 = apply_precond(r0)
     eta0 = jnp.vdot(r0, z0)
 
     def cond(state):
@@ -69,7 +83,7 @@ def pcg_solve(S, Pinv, gamma, lam0, max_iter: int = 173, exit_tol=1e-6,
         alpha = eta0_ / pSp
         lam = lam0_ + alpha * p0_
         r = r0_ - alpha * Sp
-        z = btd_matvec(Pinv, r)
+        z = apply_precond(r)
         eta_new = jnp.vdot(r, z)
         done = exit_test(r, eta_new)
         beta = eta_new / eta0_

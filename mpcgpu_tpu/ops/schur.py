@@ -51,7 +51,7 @@ if TYPE_CHECKING:  # avoid a circular import; KKTBlocks is duck-typed here
 @dataclasses.dataclass(frozen=True)
 class SchurSystem:
     S: jax.Array        # (N, 3, nx, nx) positive-definite BTD Schur matrix
-    Pinv: jax.Array     # (N, 3, nx, nx) stair preconditioner (BTD)
+    Pinv: jax.Array     # (N, 3, nx, nx) stair preconditioner (BTD); (N, 5, ...) for stair2
     gamma: jax.Array    # (N, nx) rhs
     Qinv: jax.Array     # (N, nx, nx) cached (Q+rho I)^{-1}  (for dz, like d_G reuse)
     Rinv: jax.Array     # (N-1, nu, nu) cached (R+rho I)^{-1}
@@ -126,6 +126,38 @@ def form_schur_system(
                 jnp.concatenate([zero_blk, left], axis=0),
                 D,
                 jnp.concatenate([right, zero_blk], axis=0),
+            ],
+            axis=1,
+        )
+    elif preconditioner == "stair2":
+        # One more Neumann term than stair: with T the off-diagonal part of S,
+        #   Pinv = D^-1 - D^-1 T D^-1 + D^-1 T D^-1 T D^-1
+        # (block-PENTAdiagonal, slots (k, k-2..k+2)).  Writing
+        # Y = D^-1/2 T D^-1/2, this is D^-1/2 (I - Y + Y^2) D^-1/2 with
+        # eigenvalues 1 - y + y^2 >= 3/4, so unlike the stair truncation it
+        # is unconditionally SPD.  XLA PCG path only (the fused kernel and
+        # the sharded halo exchange emit the 3-band stair).
+        L, U = S[:, 0], S[:, 2]            # blocks (k,k-1) / (k,k+1); 0 at edges
+        off1_l = -jnp.einsum("kij,kjl,klm->kim", D[1:], L[1:], D[:-1])
+        off1_r = -jnp.einsum("kij,kjl,klm->kim", D[:-1], U[:-1], D[1:])
+        t_lo = jnp.einsum("kij,kjl,kml->kim", L[1:], D[:-1], L[1:])    # L D L^T
+        t_hi = jnp.einsum("kij,kjl,kml->kim", U[:-1], D[1:], U[:-1])   # U D U^T
+        t = jnp.zeros_like(D).at[1:].add(t_lo).at[:-1].add(t_hi)
+        diag = D + jnp.einsum("kij,kjl,klm->kim", D, t, D)
+        off2_l = jnp.einsum(
+            "kij,kjl,klm,kmn,knp->kip", D[2:], L[2:], D[1:-1], L[1:-1], D[:-2]
+        )
+        off2_r = jnp.einsum(
+            "kij,kjl,klm,kmn,knp->kip", D[:-2], U[:-2], D[1:-1], U[1:-1], D[2:]
+        )
+        zero2 = jnp.zeros((2, nx, nx), dtype)
+        Pinv = jnp.stack(
+            [
+                jnp.concatenate([zero2, off2_l], axis=0),
+                jnp.concatenate([zero_blk, off1_l], axis=0),
+                diag,
+                jnp.concatenate([off1_r, zero_blk], axis=0),
+                jnp.concatenate([off2_r, zero2], axis=0),
             ],
             axis=1,
         )

@@ -38,7 +38,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from mpcgpu_tpu.ops.pcg import PCGResult
 from mpcgpu_tpu.precision import highest_precision

@@ -25,7 +25,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from mpcgpu_tpu.config import CostConfig, PCGConfig, SQPConfig
 from mpcgpu_tpu.models.robot import RobotModel
@@ -384,7 +384,7 @@ def sqp_solve_sharded(
                    P(), P()),
         # fused path: pallas_call emits vma-less out_shapes, incompatible
         # with shard_map's varying-mesh-axes check
-        check_rep=not fused,
+        check_vma=not fused,
     )
     out = fn(xu, lam, ee_goal, xs, jnp.asarray(rho, dtype), iter_bound)
     return SQPResult(xu=out[0], lam=out[1], rho=out[2], drho=out[3],

@@ -147,3 +147,64 @@ def test_dz_recovers_newton_step(problem):
     # rectangular (N, nx+nu) -> ragged layout; alpha = -1 applies the full step
     dz_flat = np.concatenate([dz[k, : NX + (NU if k < N - 1 else 0)] for k in range(N)])
     np.testing.assert_allclose(-dz_flat, dz_star, atol=1e-7)
+
+
+def test_stair2_preconditioner(problem):
+    """stair2 = one more Neumann term (block-pentadiagonal, 5 slots):
+    Pinv = D^-1 - D^-1 T D^-1 + D^-1 T D^-1 T D^-1, checked against the
+    dense construction; pcg_solve with the 5-band Pinv must reach the same
+    solution.  (Iteration-count advantage is workload-dependent — see
+    benchmarks/precond_study.py — so only correctness is asserted here.)"""
+    *_, kkt, schur = problem
+    schur2 = form_schur_system(kkt, RHO, preconditioner="stair2")
+    assert schur2.Pinv.shape == (N, 5, NX, NX)
+
+    S_dense = np.asarray(btd_to_dense(schur.S))
+    D_dense = np.zeros_like(S_dense)
+    for k in range(N):
+        D_dense[k * NX:(k + 1) * NX, k * NX:(k + 1) * NX] = np.asarray(
+            schur.S[k, 1])
+    Dinv = np.linalg.inv(D_dense)
+    T = S_dense - D_dense
+    P_oracle = Dinv - Dinv @ T @ Dinv + Dinv @ T @ Dinv @ T @ Dinv
+
+    # densify the 5-band Pinv
+    P2 = np.asarray(schur2.Pinv)
+    P_dense = np.zeros_like(S_dense)
+    for k in range(N):
+        for s, d in enumerate(range(-2, 3)):
+            j = k + d
+            if 0 <= j < N:
+                P_dense[k * NX:(k + 1) * NX, j * NX:(j + 1) * NX] = P2[k, s]
+    np.testing.assert_allclose(P_dense, P_oracle, atol=1e-9)
+
+    # banded matvec agrees with the dense apply
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((N, NX))
+    y = np.asarray(btd_matvec(schur2.Pinv, jnp.asarray(x)))
+    np.testing.assert_allclose(y, (P_oracle @ x.ravel()).reshape(N, NX),
+                               atol=1e-9)
+
+    gamma = np.asarray(schur.gamma).ravel()
+    lam_dense = np.linalg.solve(S_dense, gamma).reshape(N, NX)
+    res2 = pcg_solve(
+        schur2.S, schur2.Pinv, schur2.gamma, jnp.zeros((N, NX), jnp.float64),
+        max_iter=500, exit_tol=1e-12, exit_criterion="rnorm",
+    )
+    assert bool(res2.converged)
+    np.testing.assert_allclose(np.asarray(res2.lam), lam_dense, atol=1e-6)
+
+
+def test_precond_poly2(problem):
+    """precond_poly=2 applies z = (2 Pinv - Pinv S Pinv) r in-loop and must
+    converge to the same solution."""
+    *_, schur = problem
+    S_dense = np.asarray(btd_to_dense(schur.S))
+    lam_dense = np.linalg.solve(
+        S_dense, np.asarray(schur.gamma).ravel()).reshape(N, NX)
+    res = pcg_solve(
+        schur.S, schur.Pinv, schur.gamma, jnp.zeros((N, NX), jnp.float64),
+        max_iter=500, exit_tol=1e-12, exit_criterion="rnorm", precond_poly=2,
+    )
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.lam), lam_dense, atol=1e-6)
