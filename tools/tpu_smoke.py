@@ -11,8 +11,9 @@ tuned horizon and checks it against its XLA twin, in one command:
     python tools/tpu_smoke.py [--knots 32 64 128 256 512] [--skip-slow]
 
 Covers: KKT kernel, fused KKT+Schur+stair, lane PCG, dz, merit, plant step,
-PCR, and the batched gridded pipeline.  Prints one PASS/FAIL line per
-(kernel, N) and exits nonzero on any failure.
+PCR, the batched gridded pipeline, and the shard-local slab kernel (2-shard
+split vs the full kernel).  Prints one PASS/FAIL line per (kernel, N) and
+exits nonzero on any failure.
 
 NOTE: first compile of the big fused kernels at N>=256 takes ~6 min each
 (Mosaic); set JAX_COMPILATION_CACHE_DIR (bench.py default) to amortize.
@@ -146,6 +147,42 @@ def run_for_knots(N, skip_slow=False):
     print(f"      [{N=} done in {time.time() - t0:.1f}s]", flush=True)
 
 
+def run_slab(N):
+    """Compiled slab kernel (shard-local fused KKT+Schur of the knot-sharded
+    SQP, kkt_pallas.build_kkt_schur_pallas_slab) vs the compiled full-horizon
+    kernel: interior lanes of a 2-shard split must reproduce the global
+    outputs (the compiled twin of tests/test_kkt_slab.py)."""
+    from mpcgpu_tpu.solver.kkt_pallas import (build_kkt_schur_pallas,
+                                              build_kkt_schur_pallas_slab)
+
+    model, cost, xu, ee = problem(N)
+    rho = jnp.float32(1e-3)
+    dt = 1.0 / 64.0
+    H = 2
+    full = build_kkt_schur_pallas(model, cost, xu, xu[0, :14], ee, rho, dt)
+
+    L = N // 2
+    for s in range(2):
+        lo, hi = s * L, (s + 1) * L
+        idx = np.clip(np.arange(lo - H, hi + H), 0, N - 1)
+        gpos = np.arange(lo - H, hi + H)
+        xu_ext, ee_ext = xu[idx], ee[idx]
+        first_m = jnp.asarray((gpos == 0).astype(np.float32))
+        last_m = jnp.asarray((gpos == N - 1).astype(np.float32))
+        x_ext = xu_ext[:, :14]
+        if cost.terminal_at_last_state:
+            x_eval_ext = x_ext
+        else:
+            x_prev = jnp.concatenate([x_ext[:1], x_ext[:-1]], axis=0)
+            x_eval_ext = jnp.where((gpos == N - 1)[:, None], x_prev, x_ext)
+        slab = build_kkt_schur_pallas_slab(
+            model, cost, xu_ext, x_eval_ext, ee_ext, first_m, last_m, rho, dt)
+        sl = slice(H, H + L)
+        for key in ("S", "Pinv", "gamma"):
+            check(f"slab[{s}].{key}", N, slab[key][..., sl],
+                  full[key][..., lo:hi], atol_scale=3e-5)
+
+
 def run_batched(skip_slow=False):
     """Batched gridded fused pipeline vs vmapped unfused (N=32, I=4)."""
     from mpcgpu_tpu.config import CostConfig, PCGConfig, SQPConfig
@@ -187,6 +224,10 @@ def main():
         run_for_knots(N, skip_slow=args.skip_slow)
     if not args.skip_slow:
         run_batched()
+        # slab kernels at a short and a laundered-path (>128-lane) length
+        for N in (64, 256):
+            if max(args.knots) >= N:
+                run_slab(N)
 
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILURES: {FAILURES}")
