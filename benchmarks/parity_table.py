@@ -12,7 +12,13 @@ WARM-STARTED MPC CHAIN, identical to bench.py:
     goal window along the recorded 0_0 trace, re-pin the initial state;
   * warm wall time of the whole chain / K, median of ``reps`` runs;
   * PCG capped at the reference's tuned per-N max_iter (settings.cuh:124-144)
-    with exit_tol 1e-5, eta criterion.
+    with exit_tol 1e-5; one row per exit criterion — ``rnorm`` (the
+    reference's ||r|| < tol, PRIMARY: its tolerance tables transfer) and
+    ``eta`` (the cheaper native |r.P^-1 r| < tol);
+  * each row also reports the chain's mean L1 end-effector tracking error
+    (FK of the applied state vs the goal trace, the reference harness's
+    accuracy metric, experiment.cuh:106-142) so latency is never quoted
+    without its accuracy operating point (VERDICT r2 item 3).
 
 Labeled variants (cold start, more SQP iterations, different linsys) belong
 in benchmarks/run_all.py — anything in PARITY.md's horizon table comes from
@@ -36,6 +42,8 @@ def main():
     ap.add_argument("-K", type=int, default=256, help="chain length")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--linsys", default="auto")
+    ap.add_argument("--exit-criterion", default="both",
+                    choices=["rnorm", "eta", "both"])
     args = ap.parse_args()
 
     import jax
@@ -53,13 +61,14 @@ def main():
     K = args.K
     rows = []
 
+    from mpcgpu_tpu.models.dynamics import fk_ee_xyz
+
+    criteria = (["rnorm", "eta"] if args.exit_criterion == "both"
+                else [args.exit_criterion])
+
     for N in args.knots:
         cost = CostConfig.for_knots(N)
-        pcg_cfg = PCGConfig(max_iter=PCGConfig.tuned_max_iter(N), exit_tol=1e-5)
         sqp_cfg = SQPConfig(max_iter=1)
-        linsys = args.linsys
-        if linsys == "auto":
-            linsys = "pcg_pallas" if jax.default_backend() == "tpu" else "pcg"
 
         xu = xu_full[:N]
         xu = xu + 0.01 * jax.random.normal(jax.random.PRNGKey(0), xu.shape, dtype)
@@ -68,11 +77,11 @@ def main():
         lam = jnp.zeros((N, 14), dtype)
         rho = jnp.asarray(1e-3, dtype)
 
-        def make_chain(linsys, N=N, cost=cost, pcg_cfg=pcg_cfg):
+        def make_chain(linsys, pcg_cfg, N=N, cost=cost):
             @jax.jit
             def chain(xu0, lam0, xs0, ee0, rho0):
                 def body(i, carry):
-                    xu_, lam_, xs_, ee_, rho_, iters = carry
+                    xu_, lam_, xs_, ee_, rho_, iters, err = carry
                     res = sqp_solve(
                         model, cost, sqp_cfg, pcg_cfg, xu_, lam_, xs_, ee_,
                         rho_, 1.0 / 64.0, linsys=linsys,
@@ -80,49 +89,63 @@ def main():
                     xu_n = jnp.roll(res.xu, -1, axis=0).at[-1].set(res.xu[-1])
                     lam_n = jnp.roll(res.lam, -1, axis=0).at[-1].set(res.lam[-1])
                     xs_n = res.xu[1, :14]
+                    # L1 ee tracking error of the applied state vs its goal
+                    # (the goal for knot 1 of the current window)
+                    e = jnp.abs(fk_ee_xyz(model, xs_n[:7]) - ee_[1, :3]).sum()
                     ee_n = jnp.roll(ee_, -1, axis=0).at[-1].set(
                         jax.lax.dynamic_index_in_dim(
                             ee_full, (i + N) % ee_full.shape[0], keepdims=False))
                     return (xu_n, lam_n, xs_n, ee_n, res.rho,
-                            iters + res.pcg_iters[0])
+                            iters + res.pcg_iters[0], err + e)
 
-                init = (xu0, lam0, xs0, ee0, rho0, jnp.int32(0))
+                init = (xu0, lam0, xs0, ee0, rho0, jnp.int32(0),
+                        jnp.asarray(0.0, dtype))
                 return jax.lax.fori_loop(0, K, body, init)
 
             return chain
 
-        try:
-            fn = make_chain(linsys)
-            out = fn(xu, lam, xs, ee0, rho)
-            jax.block_until_ready(out)
-        except Exception as e:
-            print(f"# N={N} {linsys} failed ({type(e).__name__}); XLA fallback")
-            linsys = "pcg"
-            fn = make_chain(linsys)
-            out = fn(xu, lam, xs, ee0, rho)
-            jax.block_until_ready(out)
+        for criterion in criteria:
+            pcg_cfg = PCGConfig(max_iter=PCGConfig.tuned_max_iter(N),
+                                exit_tol=1e-5, exit_criterion=criterion)
+            linsys = args.linsys
+            if linsys == "auto":
+                linsys = "pcg_pallas" if jax.default_backend() == "tpu" else "pcg"
+            try:
+                fn = make_chain(linsys, pcg_cfg)
+                out = fn(xu, lam, xs, ee0, rho)
+                jax.block_until_ready(out)
+            except Exception as e:
+                print(f"# N={N} {linsys} failed ({type(e).__name__}); XLA fallback")
+                linsys = "pcg"
+                fn = make_chain(linsys, pcg_cfg)
+                out = fn(xu, lam, xs, ee0, rho)
+                jax.block_until_ready(out)
 
-        samples = []
-        for _ in range(args.reps):
-            t0 = time.perf_counter()
-            out = fn(xu, lam, xs, ee0, rho)
-            jax.block_until_ready(out)
-            samples.append((time.perf_counter() - t0) * 1e6 / K)
-        med = float(np.median(samples))
-        row = dict(knots=N, us_per_sqp_iteration=round(med, 1),
-                   vs_2ms_budget=round(2000.0 / med, 2),
-                   mean_pcg_iters=round(float(np.asarray(out[5])) / K, 1),
-                   pcg_cap=pcg_cfg.max_iter, linsys=linsys,
-                   chain_len=K, warm="mpc-chain",
-                   backend=jax.default_backend())
-        rows.append(row)
-        print(json.dumps(row))
+            samples = []
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                out = fn(xu, lam, xs, ee0, rho)
+                jax.block_until_ready(out)
+                samples.append((time.perf_counter() - t0) * 1e6 / K)
+            med = float(np.median(samples))
+            row = dict(knots=N, exit=criterion,
+                       us_per_sqp_iteration=round(med, 1),
+                       vs_2ms_budget=round(2000.0 / med, 2),
+                       mean_pcg_iters=round(float(np.asarray(out[5])) / K, 1),
+                       mean_tracking_err=round(float(np.asarray(out[6])) / K, 5),
+                       pcg_cap=pcg_cfg.max_iter, linsys=linsys,
+                       chain_len=K, warm="mpc-chain",
+                       backend=jax.default_backend())
+            rows.append(row)
+            print(json.dumps(row))
 
-    print("\n| N | SQP iter (us) | vs 2 ms budget | mean PCG iters | cap | linsys |")
-    print("|---|---|---|---|---|---|")
+    print("\n| N | exit | SQP iter (us) | vs 2 ms budget | mean PCG iters "
+          "| mean L1 track err | cap | linsys |")
+    print("|---|---|---|---|---|---|---|---|")
     for r in rows:
-        print(f"| {r['knots']} | {r['us_per_sqp_iteration']} | "
+        print(f"| {r['knots']} | {r['exit']} | {r['us_per_sqp_iteration']} | "
               f"{r['vs_2ms_budget']}x | {r['mean_pcg_iters']} | "
+              f"{r['mean_tracking_err']} | "
               f"{r['pcg_cap']} | {r['linsys']} |")
 
 

@@ -150,23 +150,22 @@ def cfg3_stair_n64(K=200):
          vs_2ms_budget=round(2000.0 / (dt_s * 1e6), 3))
 
 
-def cfg4_batched(B=256, K=20):
-    N = 32
+def cfg4_batched(B=256, K=20, N=32):
     model, xu, lam, xs, ee = _problem(N, B=B)
     cost = CostConfig.for_knots(N)
     linsys = "pcg_pallas" if jax.default_backend() == "tpu" else "pcg"
     rho = jnp.full((B,), 1e-3, jnp.float32)
     batched = make_batched_sqp_solver(
         model, cost, SQPConfig(max_iter=1),
-        PCGConfig(max_iter=173, exit_tol=1e-5), DT, linsys=linsys,
-        donate=False)
+        PCGConfig(max_iter=PCGConfig.tuned_max_iter(N), exit_tol=1e-5), DT,
+        linsys=linsys, donate=False)
 
     def stage(t):
         res = batched(xu + t, lam, xs, ee, rho)
         return res.merit[0] + 1.0
 
     dt_s = chain_time(stage, K=K)
-    emit(metric=f"batched_sqp_iteration_n32_b{B}", value=round(dt_s * 1e6, 1),
+    emit(metric=f"batched_sqp_iteration_n{N}_b{B}", value=round(dt_s * 1e6, 1),
          unit="us", solves_per_s=round(B / dt_s))
 
 
@@ -294,6 +293,9 @@ def cfg8_scenario_parallel(B=32):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--batch-knots", type=int, default=32,
+                    help="horizon for the batched config (BASELINE configs[3] "
+                    "north star: N=64 B=256)")
     ap.add_argument("--configs", nargs="*", type=int, default=[1, 2, 3, 4, 5, 6, 7, 8])
     args = ap.parse_args()
     emit(backend=jax.default_backend(), devices=len(jax.devices()))
@@ -304,7 +306,7 @@ def main():
     if 3 in args.configs:
         cfg3_stair_n64()
     if 4 in args.configs:
-        cfg4_batched(args.batch)
+        cfg4_batched(args.batch, N=args.batch_knots)
     if 5 in args.configs:
         cfg5_long_horizon()
     if 6 in args.configs:
