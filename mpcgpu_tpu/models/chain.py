@@ -69,7 +69,7 @@ def spatial_inertia(mass, com, I_com):
 
 def make_serial_chain(joint_rotations, joint_offsets, inertias,
                       ee_offset=None, gravity: float = 0.0,
-                      dtype=jnp.float32) -> RobotModel:
+                      dtype=jnp.float32, ee_transform=None) -> RobotModel:
     """Build a RobotModel for a revolute-z serial chain.
 
     Args:
@@ -80,7 +80,12 @@ def make_serial_chain(joint_rotations, joint_offsets, inertias,
         (see ``spatial_inertia``).
       ee_offset: optional (3,) end-effector point in the last joint frame —
         appended as the translation of the last homogeneous transform chain.
+      ee_transform: optional (4, 4) full homogeneous last-frame-from-ee
+        transform (e.g. a folded fixed tool joint, models/urdf.py); mutually
+        exclusive with ee_offset.
     """
+    if ee_offset is not None and ee_transform is not None:
+        raise ValueError("pass ee_offset or ee_transform, not both")
     nq = len(joint_offsets)
     xc, xs, xcos = [], [], []
     hc, hs, hcos = [], [], []
@@ -101,8 +106,10 @@ def make_serial_chain(joint_rotations, joint_offsets, inertias,
         hc.append(c_), hs.append(s_), hcos.append(co_)
 
     if ee_offset is not None:
-        ee = np.eye(4)
-        ee[:3, 3] = np.asarray(ee_offset, float)
+        ee_transform = np.eye(4)
+        ee_transform[:3, 3] = np.asarray(ee_offset, float)
+    if ee_transform is not None:
+        ee = np.asarray(ee_transform, float)
         hc[-1] = hc[-1] @ ee
         hs[-1] = hs[-1] @ ee
         hcos[-1] = hcos[-1] @ ee
