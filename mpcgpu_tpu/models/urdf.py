@@ -245,3 +245,86 @@ def load_urdf(source: str, gravity: float = 0.0, dtype=jnp.float32,
     return make_serial_chain(
         joint_rotations, joint_offsets, inertias,
         gravity=gravity, dtype=dtype, ee_transform=ee)
+
+
+def _rpy_from_matrix(R):
+    """Inverse of :func:`_rpy_matrix` (same branch as models/dynamics.fk_ee,
+    iiwa_eepos_grid.cuh:2072-2081)."""
+    roll = np.arctan2(R[2, 1], R[2, 2])
+    pitch = -np.arctan2(R[2, 0], np.sqrt(R[2, 1] ** 2 + R[2, 2] ** 2))
+    yaw = np.arctan2(R[1, 0], R[0, 0])
+    return np.array([roll, pitch, yaw])
+
+
+def export_urdf(model: RobotModel, name: str = "robot") -> str:
+    """Serialize a ``RobotModel`` back to URDF text (the inverse of
+    :func:`load_urdf` for the revolute-z chains this framework builds).
+
+    Joint frames come from the q=0 transforms (all joints are revolute-z in
+    model coordinates, so ``axis`` is always ``0 0 1``); inertials are
+    decomposed back to (mass, com, I_com); a baked end-effector transform
+    (iiwa_eepos_grid.cuh:2060-2070 role) is emitted as a trailing fixed
+    tool joint.  ``load_urdf(export_urdf(m))`` reproduces ``m``'s dynamics
+    exactly — tested on the production iiwa14 model (tests/test_urdf.py).
+    """
+    xc = np.asarray(model.xc, float)
+    xcos = np.asarray(model.xcos, float)
+    hc = np.asarray(model.hc, float)
+    hcos = np.asarray(model.hcos, float)
+    inertia = np.asarray(model.inertia, float)
+    nq = model.nq
+
+    out = [f'<robot name="{name}">', '  <link name="base"/>']
+    parent = "base"
+    for k in range(nq):
+        X0 = xc[k] + xcos[k]                  # motion transform at q=0
+        R0 = X0[:3, :3]                       # coordinate map parent -> frame
+        skew_p = -R0.T @ X0[3:, :3]
+        p = np.array([skew_p[2, 1], skew_p[0, 2], skew_p[1, 0]])
+        R_att = R0.T
+        rpy = _rpy_from_matrix(R_att)
+
+        I6 = inertia[k]
+        mass = I6[5, 5]
+        link = f'  <link name="l{k}"'
+        if mass > 0.0:
+            C = I6[:3, 3:] / mass
+            com = np.array([C[2, 1], C[0, 2], C[1, 0]])
+            Ic = I6[:3, :3] - mass * (C @ C.T)
+            link = (
+                f'  <link name="l{k}"><inertial>\n'
+                f'    <origin xyz="{com[0]:.17g} {com[1]:.17g} {com[2]:.17g}"'
+                f' rpy="0 0 0"/><mass value="{mass:.17g}"/>\n'
+                f'    <inertia ixx="{Ic[0,0]:.17g}" iyy="{Ic[1,1]:.17g}"'
+                f' izz="{Ic[2,2]:.17g}" ixy="{Ic[0,1]:.17g}"'
+                f' ixz="{Ic[0,2]:.17g}" iyz="{Ic[1,2]:.17g}"/>\n'
+                f'  </inertial></link>')
+        else:
+            link += "/>"
+        out.append(link)
+        out.append(
+            f'  <joint name="j{k}" type="revolute">\n'
+            f'    <origin xyz="{p[0]:.17g} {p[1]:.17g} {p[2]:.17g}"'
+            f' rpy="{rpy[0]:.17g} {rpy[1]:.17g} {rpy[2]:.17g}"/>\n'
+            f'    <axis xyz="0 0 1"/>\n'
+            f'    <parent link="{parent}"/><child link="l{k}"/></joint>')
+        parent = f"l{k}"
+
+    # baked ee transform: hom chain tail beyond the joint frame
+    T0 = hc[-1] + hcos[-1]                    # parent-from-child @ ee at q=0
+    X0 = xc[-1] + xcos[-1]
+    R_att = X0[:3, :3].T
+    skew_p = -X0[:3, :3].T @ X0[3:, :3]
+    p = np.array([skew_p[2, 1], skew_p[0, 2], skew_p[1, 0]])
+    Tj = _hom(R_att, p)
+    ee = np.linalg.solve(Tj, T0)
+    if not np.allclose(ee, np.eye(4), atol=1e-12):
+        rpy = _rpy_from_matrix(ee[:3, :3])
+        out.append('  <link name="tool"/>')
+        out.append(
+            f'  <joint name="jee" type="fixed">\n'
+            f'    <origin xyz="{ee[0,3]:.17g} {ee[1,3]:.17g} {ee[2,3]:.17g}"'
+            f' rpy="{rpy[0]:.17g} {rpy[1]:.17g} {rpy[2]:.17g}"/>\n'
+            f'    <parent link="{parent}"/><child link="tool"/></joint>')
+    out.append("</robot>")
+    return "\n".join(out)

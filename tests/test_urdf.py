@@ -250,3 +250,29 @@ def test_urdf_model_through_solver():
     q_end = np.asarray(res.xu[-1, :3])
     assert np.linalg.norm(q_end - np.asarray(q_goal)) < np.linalg.norm(
         np.asarray(q_goal))
+
+
+def test_export_import_roundtrip_iiwa14():
+    """export_urdf(iiwa14()) -> load_urdf reproduces the PRODUCTION model:
+    every RobotModel tensor (including the baked ee transform and the real
+    90-degree inter-joint frame rotations) and the recorded-trace dynamics."""
+    from mpcgpu_tpu.models import iiwa14
+    from mpcgpu_tpu.models.urdf import export_urdf
+
+    want = iiwa14(dtype=jnp.float64)
+    text = export_urdf(want, name="iiwa14")
+    got = load_urdf(text, dtype=jnp.float64)
+    assert got.nq == 7
+    for f in ("xc", "xs", "xcos", "inertia", "hc", "hs", "hcos"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, f)), np.asarray(getattr(want, f)),
+            atol=1e-12, err_msg=f)
+
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.uniform(-2, 2, 7))
+    qd = jnp.asarray(rng.uniform(-1, 1, 7))
+    np.testing.assert_allclose(np.asarray(dynamics.fk_ee(got, q)),
+                               np.asarray(dynamics.fk_ee(want, q)), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(dynamics.rnea(got, q, qd, qd)),
+        np.asarray(dynamics.rnea(want, q, qd, qd)), atol=1e-10)
