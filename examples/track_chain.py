@@ -10,6 +10,9 @@ drivers use — every layer (dynamics, KKT, Schur, PCG, merit, simulator)
 unchanged.
 
 Usage: python examples/track_chain.py [--nq 5] [--knots 16] [--steps 120]
+       python examples/track_chain.py --urdf robot.urdf      # onboard a URDF
+       python examples/track_chain.py --urdf builtin:iiwa    # iiwa via URDF
+                                                             # round-trip demo
 """
 
 import argparse
@@ -23,6 +26,11 @@ def main():
     ap.add_argument("--knots", type=int, default=16)
     ap.add_argument("--steps", type=int, default=120)
     ap.add_argument("--ondevice", action="store_true")
+    ap.add_argument("--urdf", default=None,
+                    help="load the robot from a URDF file instead of the "
+                    "programmatic planar arm (models/urdf.py); the sentinel "
+                    "'builtin:iiwa' round-trips the baked IIWA-14 through "
+                    "export_urdf -> load_urdf")
     args = ap.parse_args()
 
     import jax
@@ -33,8 +41,20 @@ def main():
     from mpcgpu_tpu.models.chain import planar_arm
     from mpcgpu_tpu.sim.mpc import simulate_mpc, simulate_mpc_ondevice
 
-    nq = args.nq
-    model = planar_arm(nq=nq, link_len=0.4, link_mass=0.8)
+    if args.urdf == "builtin:iiwa":
+        from mpcgpu_tpu.models import iiwa14
+        from mpcgpu_tpu.models.urdf import export_urdf, load_urdf
+
+        model = load_urdf(export_urdf(iiwa14()))
+        print("onboarded IIWA-14 via export_urdf -> load_urdf round trip")
+    elif args.urdf is not None:
+        from mpcgpu_tpu.models.urdf import load_urdf
+
+        model = load_urdf(args.urdf)
+        print(f"onboarded {model.nq}-joint robot from {args.urdf}")
+    else:
+        model = planar_arm(nq=args.nq, link_len=0.4, link_mass=0.8)
+    nq = model.nq
     dt = 1.0 / 64.0
     steps = args.steps
 
