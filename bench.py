@@ -23,6 +23,7 @@ real-time with headroom).
 
 import json
 import os
+import signal
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -32,6 +33,75 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+METRIC = "sqp_pcg_iteration_latency_iiwa_n64_rnorm"
+
+
+def emit_unavailable(reason):
+    """One machine-readable JSON line when the TPU backend is unreachable.
+
+    The remote-TPU tunnel has documented multi-hour outages (verify skill);
+    a raw traceback here breaks the round-over-round BENCH_r* record
+    (VERDICT r3 weak #2), so failures must stay on the same one-line JSON
+    contract as success.
+    """
+    print(json.dumps(dict(
+        metric=METRIC, value=None, unit="us", vs_baseline=None,
+        error="tpu_unavailable", reason=str(reason)[:400],
+    )))
+
+
+class _BenchTimeout(Exception):
+    pass
+
+
+def _alarm(signum, frame):
+    raise _BenchTimeout("watchdog alarm fired")
+
+
+def _subprocess_probe():
+    """One trivial-jit probe in a CHILD process.
+
+    A wedged tunnel blocks inside the backend's C extension without
+    returning to the interpreter, so in-process SIGALRM never fires
+    (observed live, round 4) — only a killable child is a reliable probe.
+    """
+    import subprocess
+    import sys
+
+    timeout_s = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "120"))
+    code = ("import jax, jax.numpy as jnp; "
+            "jax.block_until_ready(jax.jit(lambda a: a.sum())"
+            "(jnp.ones((8, 128)))); print('ok')")
+    res = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=timeout_s)
+    if res.returncode != 0:
+        raise RuntimeError(f"backend probe failed: {res.stderr[-300:]}")
+
+
+def probe_backend(attempts=None, retry_sleep_s=None, _probe_fn=None):
+    """Bounded probe/retry window for the TPU backend.
+
+    Returns None on success; raises the last failure after `attempts` tries.
+    `_probe_fn` is injectable for tests (default: a killable subprocess
+    probe, see _subprocess_probe).
+    """
+    if attempts is None:
+        attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "3"))
+    if retry_sleep_s is None:
+        retry_sleep_s = float(os.environ.get("BENCH_PROBE_RETRY_S", "60"))
+
+    probe = _probe_fn or _subprocess_probe
+    last = None
+    for k in range(attempts):
+        try:
+            probe()
+            return
+        except Exception as e:  # noqa: BLE001 - backend errors vary by plugin
+            last = e
+        if k + 1 < attempts:
+            time.sleep(retry_sleep_s)
+    raise last
 
 
 def main():
@@ -116,7 +186,7 @@ def main():
     print(
         json.dumps(
             dict(
-                metric="sqp_pcg_iteration_latency_iiwa_n64_rnorm",
+                metric=METRIC,
                 value=round(med, 1),
                 unit="us",
                 vs_baseline=round(2000.0 / med, 3),
@@ -130,5 +200,61 @@ def main():
     )
 
 
+def _subprocess_main(timeout_s):
+    """Run the real bench as a killable child (`bench.py --main`) and
+    forward its stdout — a mid-run wedge blocks in C and cannot be
+    interrupted in-process."""
+    import subprocess
+    import sys
+
+    res = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--main"],
+        capture_output=True, text=True, timeout=timeout_s)
+    lines = [ln for ln in res.stdout.strip().splitlines() if ln.strip()]
+    if res.returncode != 0 or not lines:
+        raise RuntimeError(f"bench child failed (rc={res.returncode}): "
+                           f"{res.stderr[-300:]}")
+    json.loads(lines[-1])  # must be the one-line JSON contract
+    print(lines[-1])
+
+
+def run_guarded(main_fn=None, probe_fn=None, main_timeout_s=None):
+    """Probe the backend, then run the bench under a hang watchdog.
+
+    Any backend failure (init error, probe timeout, mid-run wedge) degrades
+    to emit_unavailable() + exit code 0 so BENCH_r* stays machine-readable.
+    Default probe and main run as killable subprocesses; injected test fns
+    run in-process under SIGALRM (sufficient for interruptible Python).
+    """
+    if main_timeout_s is None:
+        main_timeout_s = int(os.environ.get("BENCH_TIMEOUT_S", "2700"))
+    try:
+        probe_backend(_probe_fn=probe_fn)
+    except Exception as e:  # noqa: BLE001
+        emit_unavailable(e)
+        return 0
+    if main_fn is None:
+        try:
+            _subprocess_main(main_timeout_s)
+        except Exception as e:  # noqa: BLE001
+            emit_unavailable(e)
+        return 0
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(main_timeout_s)
+    try:
+        main_fn()
+    except Exception as e:  # noqa: BLE001
+        emit_unavailable(e)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+    return 0
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--main" in sys.argv:
+        main()
+    else:
+        raise SystemExit(run_guarded())

@@ -16,10 +16,29 @@ def test_validated_operating_points_fit():
 
 
 def test_footprint_scales_with_shape():
-    base = fused_pipeline_vmem_bytes(7, 64, jnp.float32)
-    assert fused_pipeline_vmem_bytes(7, 128, jnp.float32) == 2 * base
-    assert fused_pipeline_vmem_bytes(7, 64, jnp.float64) == 2 * base
-    assert fused_pipeline_vmem_bytes(14, 64, jnp.float32) > 3 * base
+    base = fused_pipeline_vmem_bytes(7, 256, jnp.float32)
+    # beyond one 128-lane vreg the footprint is linear in the knot axis
+    assert fused_pipeline_vmem_bytes(7, 512, jnp.float32) == 2 * base
+    # below it, lane padding floors the footprint (64 and 128 share a vreg)
+    assert (fused_pipeline_vmem_bytes(7, 64, jnp.float32)
+            == fused_pipeline_vmem_bytes(7, 128, jnp.float32))
+    assert fused_pipeline_vmem_bytes(7, 256, jnp.float64) == 2 * base
+    assert fused_pipeline_vmem_bytes(14, 256, jnp.float32) > 3 * base
+
+
+def test_estimate_matches_measured_calibration_point():
+    # the fused pipeline's MEASURED resident set at nq=7, N=512, f32 is
+    # 19.4 MiB (VERDICT r3 weak #5); the model must reproduce it within 30%
+    est = fused_pipeline_vmem_bytes(7, 512, jnp.float32) / 2**20
+    assert 13.0 <= est <= 26.0, est
+
+
+def test_moderately_oversized_nq_rejected():
+    # a robot with nq ~ 10-12 at N=512 overflows the measured envelope; the
+    # old flat-1.25x model passed it (4x under-read) — must reject now
+    ok, reason = check_pcg_occupancy(10, 512, jnp.float32)
+    assert not ok, reason
+    assert "VMEM" in reason
 
 
 def test_oversize_nq_falls_back_on_vmem():
@@ -35,8 +54,8 @@ def test_oversize_horizon_falls_back_on_lane_envelope():
 
 
 def test_budget_env_override(monkeypatch):
-    monkeypatch.setenv("MPCGPU_TPU_VMEM_BUDGET_MB", "1000")
-    assert vmem_budget_bytes() == 1000 * (1 << 20)
+    monkeypatch.setenv("MPCGPU_TPU_VMEM_BUDGET_MB", "2000")
+    assert vmem_budget_bytes() == 2000 * (1 << 20)
     ok, _ = check_pcg_occupancy(64, 512, jnp.float32)
     assert ok  # the same oversize shape fits under the raised budget
     monkeypatch.setenv("MPCGPU_TPU_VMEM_BUDGET_MB", "0.1")
