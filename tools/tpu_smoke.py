@@ -183,6 +183,34 @@ def run_slab(N):
                   full[key][..., lo:hi], atol_scale=3e-5)
 
 
+def run_pcg_slab(N):
+    """Compiled slab-step PCG kernel (ops/pcg_pallas.pcg_slab_step_pallas,
+    driving parallel/pcg_sharded method='pipelined_slab') vs the XLA PCG, on
+    a 1-device mesh (the chip): exercises the kernel + the packet/psum loop
+    structure compiled; the multi-shard split is CPU-mesh-tested in
+    tests/test_parallel.py."""
+    from jax.sharding import Mesh
+    from mpcgpu_tpu.config import PCGConfig
+    from mpcgpu_tpu.ops.pcg import pcg_solve
+    from mpcgpu_tpu.ops.schur import form_schur_system
+    from mpcgpu_tpu.parallel.pcg_sharded import pcg_solve_sharded
+    from mpcgpu_tpu.solver.kkt import build_kkt
+
+    model, cost, xu, ee = problem(N)
+    kkt = build_kkt(model, cost, xu, xu[0, :14], ee, 1.0 / 64.0)
+    schur = form_schur_system(kkt, 1e-3)
+    lam0 = jnp.zeros_like(schur.gamma)
+    cap = PCGConfig.tuned_max_iter(N)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("knot",))
+    got = pcg_solve_sharded(schur.S, schur.Pinv, schur.gamma, lam0, mesh,
+                            max_iter=cap, exit_tol=1e-7,
+                            method="pipelined_slab")
+    want = pcg_solve(schur.S, schur.Pinv, schur.gamma, lam0,
+                     max_iter=cap, exit_tol=1e-7)
+    check("pcg_slab.lam", N, got.lam, want.lam, atol_scale=5e-4)
+    print(f"      pcg_slab iters: slab={int(got.iters)} xla={int(want.iters)}")
+
+
 def run_batched(skip_slow=False):
     """Batched gridded fused pipeline vs vmapped unfused (N=32, I=4)."""
     from mpcgpu_tpu.config import CostConfig, PCGConfig, SQPConfig
@@ -228,6 +256,9 @@ def main():
         for N in (64, 256):
             if max(args.knots) >= N:
                 run_slab(N)
+        for N in (64,):
+            if max(args.knots) >= N:
+                run_pcg_slab(N)
 
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILURES: {FAILURES}")
