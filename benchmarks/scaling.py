@@ -24,6 +24,76 @@ import time
 import numpy as np
 
 
+def batched_scaling(args):
+    """Weak-scaling solves/s of the instance-sharded gridded fused pipeline
+    (parallel/batched_fused.sqp_solve_batched_fused_sharded): B = per-device
+    batch x devices, pure data parallel (zero collectives), so efficiency
+    should stay ~1.0 — the multi-host form of BASELINE's >= 80% batched-MPC
+    scaling target."""
+    import jax
+    import jax.numpy as jnp
+
+    from mpcgpu_tpu.config import CostConfig, PCGConfig, SQPConfig
+    from mpcgpu_tpu.models import iiwa14
+    from mpcgpu_tpu.parallel.batched_fused import (
+        sqp_solve_batched_fused_sharded)
+    from mpcgpu_tpu.parallel.mesh import make_mesh
+    from mpcgpu_tpu.utils.trajfiles import load_eepos_traj, load_xu_traj
+
+    N = args.knots if args.knots <= 128 else 32
+    dtype = jnp.float32
+    model = iiwa14(dtype=dtype)
+    cost = CostConfig.for_knots(N)
+    xu0 = jnp.asarray(load_xu_traj("0_0")[:N], dtype)
+    ee0 = jnp.asarray(load_eepos_traj("0_0")[:N], dtype)
+    scfg = SQPConfig(max_iter=2)
+    # exit_tol=0: every instance runs the full fixed iteration budget so the
+    # measured work is identical per instance across device counts
+    pcfg = PCGConfig(max_iter=40, exit_tol=0.0)
+
+    n_avail = len(jax.devices())
+    rows = []
+    base_rate = None
+    for d in (1, 2, 4, 8, 16):
+        if d > n_avail:
+            break
+        B = args.batch_per_device * d
+        key = jax.random.PRNGKey(0)
+        xu_b = xu0[None] + 0.01 * jax.random.normal(key, (B, N, 21), dtype)
+        ee_b = jnp.broadcast_to(ee0, (B, N, 6))
+        xs_b = xu_b[:, 0, :14]
+        lam_b = jnp.zeros((B, N, 14), dtype)
+        rho_b = jnp.full((B,), 1e-3, dtype)
+        mesh = make_mesh(n_instance=d, n_knot=1)
+
+        def run():
+            return sqp_solve_batched_fused_sharded(
+                model, cost, scfg, pcfg, xu_b, lam_b, xs_b, ee_b, rho_b,
+                1.0 / 64.0, mesh)
+
+        jax.block_until_ready(run().xu)            # compile + warm
+        samples = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run().xu)
+            samples.append(time.perf_counter() - t0)
+        rate = B / float(np.median(samples))       # solves/s
+        if base_rate is None:
+            base_rate = rate
+        eff = rate / (base_rate * d)
+        rows.append(dict(devices=d, batch=B,
+                         solves_per_s=round(rate, 1),
+                         efficiency_vs_1dev=round(eff, 3)))
+        print(json.dumps(rows[-1]))
+
+    import jax as _jax
+
+    print(json.dumps(dict(metric="batched_fused_instance_scaling", knots=N,
+                          batch_per_device=args.batch_per_device,
+                          sqp_iters=2, pcg_iters_fixed=40,
+                          backend=_jax.default_backend(), table=rows)))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--knots", type=int, default=512)
@@ -31,10 +101,20 @@ def main():
                     help="fixed PCG iteration count (tuned cap for N=512)")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--method", default="pipelined",
-                    choices=["pipelined", "classic"],
+                    choices=["pipelined", "pipelined_slab", "classic"],
                     help="sharded CG formulation (parallel/pcg_sharded.py): "
-                    "pipelined = 1 psum + 1 halo exchange per iteration")
+                    "pipelined = 1 psum + 1 halo exchange per iteration; "
+                    "pipelined_slab = same collectives, per-shard compute "
+                    "in one Pallas kernel per iteration")
+    ap.add_argument("--batched", action="store_true",
+                    help="instead of knot-sharded PCG, measure the "
+                    "instance-sharded gridded fused pipeline: solves/s vs "
+                    "devices, weak scaling (VERDICT r3 item 6)")
+    ap.add_argument("--batch-per-device", type=int, default=16)
     args = ap.parse_args()
+
+    if args.batched:
+        return batched_scaling(args)
 
     import jax
     import jax.numpy as jnp

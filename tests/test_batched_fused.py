@@ -189,3 +189,36 @@ def test_batched_fused_sqp_matches_vmap(problem):
                                atol=5e-3)
     np.testing.assert_allclose(np.asarray(got.rho), np.asarray(ref.rho),
                                rtol=1e-5)
+
+
+def test_batched_fused_sharded_matches_unsharded(problem):
+    """Instance-sharded (shard_map over the instance mesh axis) gridded
+    fused pipeline == the single-device gridded pipeline, instance for
+    instance (VERDICT r3 item 6: batch x device composition)."""
+    from mpcgpu_tpu.parallel.batched_fused import (
+        sqp_solve_batched_fused_sharded)
+    from mpcgpu_tpu.parallel.mesh import make_mesh
+
+    model, cost, xu_b, lam_b, xs_b, ee_b, rho_b = problem
+    scfg = SQPConfig(max_iter=2)
+    pcfg = PCGConfig(max_iter=40, exit_tol=1e-6)
+    # pin the SAME lane packing (I=2) on both sides: each device's gridded
+    # program then processes identical instance groups, so results match to
+    # rounding (instances never couple); packing variation itself is covered
+    # by test_batched_fused_sqp_matches_vmap
+    ref = sqp_solve_batched_fused(
+        model, cost, scfg, pcfg, xu_b, lam_b, xs_b, ee_b, rho_b, 1 / 64.0,
+        inst_per_prog=2)
+    mesh = make_mesh(n_instance=2, n_knot=1)
+    got = sqp_solve_batched_fused_sharded(
+        model, cost, scfg, pcfg, xu_b, lam_b, xs_b, ee_b, rho_b, 1 / 64.0,
+        mesh, inst_per_prog=2)
+    # per-instance math is identical, but XLA lowers the outer-loop
+    # reductions differently for the (local B=2) vs (global B=4) shapes, so
+    # agreement is f32-rounding-level, not bitwise (measured: <= 5e-6)
+    np.testing.assert_allclose(np.asarray(got.xu), np.asarray(ref.xu),
+                               atol=1e-4)
+    assert np.max(np.abs(np.asarray(got.pcg_iters, np.int64)
+                         - np.asarray(ref.pcg_iters, np.int64))) <= 1
+    np.testing.assert_array_equal(np.asarray(got.ls_alpha_idx),
+                                  np.asarray(ref.ls_alpha_idx))
