@@ -150,6 +150,10 @@ def load_urdf(source: str, gravity: float = 0.0, dtype=jnp.float32,
         bakes 0, iiwa_eepos_plant.cuh:51).
       ee_link: optional link whose frame origin is the end-effector point;
         defaults to the tip of the chain (after trailing fixed joints).
+        Must be the last MOVABLE link or on the trailing fixed chain —
+        the ee transform rides after the last joint frame, so a link with
+        movable joints downstream of it has no fixed offset from that
+        frame (raises ValueError rather than silently returning the tip).
 
     Raises ValueError for branching chains or unsupported joint types
     (prismatic/floating/planar) — the supported class matches the workload's
@@ -216,6 +220,14 @@ def load_urdf(source: str, gravity: float = 0.0, dtype=jnp.float32,
             if ee_link is not None and link == ee_link:
                 ee_T = T_acc.copy()
             continue
+        if ee_T is not None:
+            # ee_T is captured relative to the CURRENT movable frame but is
+            # applied after the LAST joint frame; a movable joint downstream
+            # of ee_link would make it silently wrong (ADVICE r3)
+            raise ValueError(
+                f"ee_link {ee_link!r} has movable joint {j['name']!r} "
+                f"downstream; ee_link must be the last movable link or on "
+                f"the trailing fixed chain")
         M = _align_to_z(j["axis"])
         # library convention (models/chain.py): joint_rotations[k] is the
         # coordinate map parent-frame -> fixed (pre-rotation) frame; with

@@ -166,3 +166,24 @@ def qdldl_solve_schur(S: np.ndarray, gamma: np.ndarray) -> np.ndarray:
     fac = SparseLDL(col_ptr, row_ind)
     fac.factor(btd_upper_csc_values(S))
     return fac.solve(np.asarray(gamma, np.float64).reshape(N * n)).reshape(N, n)
+
+
+_SLDL_CACHE: dict = {}
+
+
+def qdldl_solve_schur_cached(S: np.ndarray, gamma: np.ndarray) -> np.ndarray:
+    """qdldl_solve_schur with the SYMBOLIC factorization cached per (n, N) —
+    the reference's exact usage: pattern prepped once (prep_csr,
+    qdldl/sqp.cuh:164-166), numeric factor + solve per SQP iteration
+    (:193, :271).  This is the host end of the ``linsys="qdldl_host"``
+    per-iteration D2H -> factor/solve -> H2D round-trip."""
+    from mpcgpu_tpu.ops.csr import btd_upper_csc_pattern, btd_upper_csc_values
+
+    S = np.asarray(S, np.float64)
+    N, _, n, _ = S.shape
+    fac = _SLDL_CACHE.get((n, N))
+    if fac is None:
+        col_ptr, row_ind = btd_upper_csc_pattern(n, N)
+        fac = _SLDL_CACHE[(n, N)] = SparseLDL(col_ptr, row_ind)
+    fac.factor(btd_upper_csc_values(S))
+    return fac.solve(np.asarray(gamma, np.float64).reshape(N * n)).reshape(N, n)

@@ -83,6 +83,17 @@ def sqp_solve(
     dtype = xu.dtype
     max_iter = sqp_cfg.max_iter if max_sqp_iter is None else max_sqp_iter
 
+    if linsys == "pcg_pallas" and pcg_cfg.preconditioner != "stair":
+        # the fused PCG kernel's matvec hardcodes the 3-band BTD stencil;
+        # stair2's (N, 5, n, n) Pinv would be silently misread (ADVICE r3) —
+        # fall back to the band-general XLA PCG
+        import logging
+
+        logging.getLogger("mpcgpu_tpu").info(
+            "linsys='pcg_pallas' supports preconditioner='stair' only; "
+            "falling back to linsys='pcg' for %r", pcg_cfg.preconditioner)
+        linsys = "pcg"
+
     rho = jnp.asarray(rho, dtype)
     mu = jnp.asarray(sqp_cfg.mu, dtype)
     dt = jnp.asarray(dt, dtype)
@@ -195,6 +206,26 @@ def sqp_solve(
 
             lam_new = pcr_solve_pallas(schur.S, schur.gamma, refine=1,
                                        interpret=interpret)
+            return lam_new, jnp.int32(1), jnp.bool_(True)
+        elif linsys == "qdldl_host":
+            # the reference's LITERAL per-SQP-iteration host round-trip:
+            # D2H Schur values -> QDLDL numeric factor + solve on the host
+            # (symbolic cached) -> H2D (qdldl/sqp.cuh:268-273).  On a remote
+            # TPU every iteration pays the tunnel round-trip — kept for
+            # reference parity/cross-checking; linsys="ldl" is the on-device
+            # direct solver that replaces it in production.
+            def _host_solve(S_np, gamma_np):
+                import numpy as np
+
+                from mpcgpu_tpu.native import qdldl_solve_schur_cached
+
+                return qdldl_solve_schur_cached(S_np, gamma_np).astype(
+                    np.asarray(gamma_np).dtype)
+
+            lam_new = jax.pure_callback(
+                _host_solve,
+                jax.ShapeDtypeStruct(schur.gamma.shape, schur.gamma.dtype),
+                schur.S, schur.gamma, vmap_method="sequential")
             return lam_new, jnp.int32(1), jnp.bool_(True)
         else:
             raise ValueError(f"unknown linsys {linsys!r}")

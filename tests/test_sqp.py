@@ -158,3 +158,57 @@ def test_eisenstat_walker_forcing():
     m_fixed = float(fixed.merit)
     m_ew = float(ew.merit)
     assert m_ew <= m_fixed * 1.01 + 1e-6, (m_ew, m_fixed)
+
+
+def test_stair2_with_pcg_pallas_falls_back_to_xla_pcg(problem):
+    """preconditioner='stair2' emits a 5-band Pinv that the fused PCG
+    kernel's 3-band matvec would silently misread (ADVICE r3): sqp_solve
+    must fall back to the band-general XLA PCG and match it exactly."""
+    import dataclasses
+
+    model, cost, xu, lam, xs, ee = problem
+    cfg2 = dataclasses.replace(PCGConfig(max_iter=120, exit_tol=1e-8),
+                               preconditioner="stair2")
+    scfg = SQPConfig(max_iter=2)
+    ref = sqp_solve(model, cost, scfg, cfg2, xu, jnp.zeros((N, NX), xu.dtype),
+                    xs, ee, 1e-3, DT, linsys="pcg")
+    got = sqp_solve(model, cost, scfg, cfg2, xu, jnp.zeros((N, NX), xu.dtype),
+                    xs, ee, 1e-3, DT, linsys="pcg_pallas")
+    np.testing.assert_allclose(np.asarray(got.xu), np.asarray(ref.xu))
+    # and the kernel itself rejects wide-band operands outright
+    import pytest
+
+    from mpcgpu_tpu.ops.pcg_pallas import pcg_solve_pallas
+
+    S5 = jnp.zeros((N, 5, NX, NX), xu.dtype)
+    g = jnp.zeros((N, NX), xu.dtype)
+    with pytest.raises(ValueError, match="3-band"):
+        pcg_solve_pallas(S5, S5, g, g, interpret=True)
+
+
+def test_qdldl_host_matches_ondevice_ldl_closed_loop(problem):
+    """linsys='qdldl_host' — the reference's LITERAL per-iteration host
+    round-trip (D2H Schur values -> cached-symbolic QDLDL factor/solve ->
+    H2D, qdldl/sqp.cuh:268-273) via jax.pure_callback — tracks the same
+    closed-loop trajectory as the on-device block LDL^T (VERDICT r3 item 9)."""
+    model, cost, xu0, lam0, xs0, ee = problem
+    scfg = SQPConfig(max_iter=2)
+    pcfg = PCGConfig(max_iter=100, exit_tol=1e-8)
+
+    def track(linsys, steps=5):
+        xu, lam, xs, rho = xu0, lam0, xs0, jnp.asarray(1e-3, jnp.float32)
+        fn = jax.jit(lambda *a: sqp_solve(model, cost, scfg, pcfg, *a, DT,
+                                          linsys=linsys))
+        path = []
+        for _ in range(steps):
+            res = fn(xu, lam, xs, ee, rho)
+            xu = jnp.roll(res.xu, -1, axis=0).at[-1].set(res.xu[-1])
+            lam = jnp.roll(res.lam, -1, axis=0).at[-1].set(res.lam[-1])
+            xs = res.xu[1, :NX]
+            rho = res.rho
+            path.append(np.asarray(xs))
+        return np.stack(path)
+
+    ref = track("ldl")
+    got = track("qdldl_host")
+    np.testing.assert_allclose(got, ref, atol=5e-3)

@@ -276,3 +276,28 @@ def test_export_import_roundtrip_iiwa14():
     np.testing.assert_allclose(
         np.asarray(dynamics.rnea(got, q, qd, qd)),
         np.asarray(dynamics.rnea(want, q, qd, qd)), atol=1e-10)
+
+
+def test_ee_link_with_downstream_movable_joint_rejected():
+    """ee_link followed by a movable joint has no fixed offset from the last
+    joint frame; must raise, not silently return the chain tip (ADVICE r3)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="downstream"):
+        load_urdf(_planar_urdf(3), ee_link="l0")
+    with pytest.raises(ValueError, match="downstream"):
+        load_urdf(_planar_urdf(3), ee_link="l1")
+
+
+def test_ee_link_last_movable_and_trailing_fixed_ok():
+    """The documented-supported ee_link placements: the last movable link
+    (frame origin = last joint origin) and the trailing fixed chain tip."""
+    m_last = load_urdf(_planar_urdf(3, L=0.5), ee_link="l2", dtype=jnp.float64)
+    m_tool = load_urdf(_planar_urdf(3, L=0.5), ee_link="tool", dtype=jnp.float64)
+    q = jnp.zeros(3, jnp.float64)
+    # at q=0 the planar chain lies along x: joint-2 origin at x=2L=1.0,
+    # tool at x=3L=1.5
+    np.testing.assert_allclose(np.asarray(dynamics.fk_ee(m_last, q))[:3],
+                               [1.0, 0.0, 0.0], atol=1e-14)
+    np.testing.assert_allclose(np.asarray(dynamics.fk_ee(m_tool, q))[:3],
+                               [1.5, 0.0, 0.0], atol=1e-14)
