@@ -1,0 +1,59 @@
+#!/bin/bash
+# TPU re-validation campaign (VERDICT r3 item 1): run EVERYTHING that needs
+# the chip, in priority order, as soon as the tunnel is back.  Each stage
+# logs to $OUT/<stage>.log and appends one status line to $OUT/queue_status;
+# stages are independent (a failure does not stop the queue).
+#
+#   bash tools/tpu_queue.sh [outdir]
+#
+# Expected wall: ~60-90 min cold cache (Mosaic compiles of the big fused
+# kernels dominate: ~6 min at N=256, more at N=512), much less warm.
+set -u
+cd "$(dirname "$0")/.."
+OUT=${1:-/tmp/tpu_queue}
+mkdir -p "$OUT"
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-$PWD/.jax_cache}
+export PYTHONPATH=/root/.axon_site:$PWD
+
+stage() {
+  local name=$1; shift
+  echo "=== $name: $* ===" | tee -a "$OUT/queue_status"
+  local t0=$SECONDS
+  if timeout "${STAGE_TIMEOUT:-3600}" "$@" >"$OUT/$name.log" 2>&1; then
+    echo "OK   $name ($((SECONDS-t0))s)" | tee -a "$OUT/queue_status"
+  else
+    echo "FAIL $name rc=$? ($((SECONDS-t0))s) — see $OUT/$name.log" \
+      | tee -a "$OUT/queue_status"
+  fi
+}
+
+# 0. probe: one trivial jit (fast fail if the tunnel is still wedged)
+stage probe python -c "import jax, jax.numpy as jnp; \
+print(jax.block_until_ready(jax.jit(lambda a: a.sum())(jnp.ones((8,128)))))"
+grep -q "^OK   probe" "$OUT/queue_status" || { echo "tunnel still down"; exit 1; }
+
+# 1. compiled-kernel smoke pass: every Pallas kernel vs its XLA twin at
+#    every tuned horizon, incl. the slab kernels and the slab-PCG step
+stage smoke_quick python tools/tpu_smoke.py --knots 32 64
+stage smoke_full  python tools/tpu_smoke.py
+
+# 2. headline bench (rnorm primary) — the BENCH_r04 number
+stage bench python bench.py
+
+# 3. canonical horizon table (rnorm + eta rows, all N) -> PARITY.md
+stage parity_table python benchmarks/parity_table.py
+
+# 4. slab-vs-full kernel cost at equal lane count (round-2/3 acceptance)
+stage slab_cost_64  python benchmarks/slab_cost.py --length 64
+stage slab_cost_128 python benchmarks/slab_cost.py --length 128
+
+# 5. the unmeasured BASELINE configs[3] point: N=64 batched
+stage run_all_batched python benchmarks/run_all.py --configs 3 --batch-knots 64
+
+# 6. slab-PCG per-iteration cost (VERDICT r3 item 2 acceptance)
+stage pcg_slab_cost python benchmarks/pcg_slab_cost.py
+
+# 7. rnorm cap/tolerance retuning (VERDICT r3 item 4)
+stage tune_rnorm python tools/tune_pcg_caps.py --exit-criterion rnorm --knots 32 64
+
+echo "queue done; statuses:"; cat "$OUT/queue_status"

@@ -36,6 +36,15 @@ def main():
                     default=[20, 40, 80, 120, 167])
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--sqp-iters", type=int, default=2)
+    ap.add_argument("--exit-criterion", default="eta",
+                    choices=["eta", "rnorm"],
+                    help="rnorm = the reference's ||r|| < tol (the headline "
+                    "criterion); retunes the caps under it (VERDICT r3 "
+                    "item 4)")
+    ap.add_argument("--tols", type=float, nargs="*", default=[1e-5],
+                    help="exit tolerances to sweep (eta<->rnorm mapping: "
+                    "sweep both criteria over a tol grid and match rows of "
+                    "equal tracking error)")
     args = ap.parse_args()
 
     model = iiwa14()
@@ -45,8 +54,10 @@ def main():
     scfg = SQPConfig(max_iter=args.sqp_iters, max_time_us=None)
 
     for N in args.knots:
+      for tol in args.tols:
         for cap in args.caps:
-            pcfg = PCGConfig(max_iter=cap, exit_tol=1e-5)
+            pcfg = PCGConfig(max_iter=cap, exit_tol=tol,
+                             exit_criterion=args.exit_criterion)
             dev = simulate_mpc_ondevice(model, xu_traj, ee_traj, N, 1 / 64.0,
                                         sqp_cfg=scfg, pcg_cfg=pcfg, sim_cfg=sim)
             jax.block_until_ready(dev["final_tracking_error"])
@@ -62,7 +73,8 @@ def main():
             steps = int(dev["control_updates"])
             errs = np.asarray(dev["tracking_errors"])
             print(json.dumps(dict(
-                knots=N, pcg_cap=cap,
+                knots=N, pcg_cap=cap, exit_criterion=args.exit_criterion,
+                exit_tol=tol,
                 us_per_control_step=round(wall * 1e6 / steps, 1),
                 avg_tracking_error=round(float(errs.mean()), 5),
                 final_tracking_error=round(float(dev["final_tracking_error"]), 5),
