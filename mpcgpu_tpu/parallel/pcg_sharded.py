@@ -219,10 +219,25 @@ def _pcg_local_pipelined(S_loc, Pinv_loc, gamma_loc, lam_loc, max_iter: int,
     return out[0], out[-2], out[-1]
 
 
+def _btd_matvec_halo_lanes(S_l, x_l, axis_name: str):
+    """Lane-layout y = S @ x with ring halos: S_l (3, n, n, L), x_l (n, L)."""
+    n_dev = jax.lax.axis_size(axis_name)
+    perm_fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    perm_bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    fl = jax.lax.ppermute(x_l[:, -1], axis_name, perm_fwd)
+    fr = jax.lax.ppermute(x_l[:, 0], axis_name, perm_bwd)
+    x_prev = jnp.concatenate([fl[:, None], x_l[:, :-1]], axis=1)
+    x_next = jnp.concatenate([x_l[:, 1:], fr[:, None]], axis=1)
+    return (jnp.einsum("ijl,jl->il", S_l[1], x_l)
+            + jnp.einsum("ijl,jl->il", S_l[0], x_prev)
+            + jnp.einsum("ijl,jl->il", S_l[2], x_next))
+
+
 def _pcg_local_pipelined_slab(S_loc, Pinv_loc, gamma_loc, lam_loc,
                               max_iter: int, exit_tol, axis_name: str,
                               exit_criterion: str = "eta",
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              lane_inputs: bool = False):
     """Pipelined PCG with the per-shard compute in ONE Pallas kernel/iter.
 
     Same collective budget as _pcg_local_pipelined (1 psum + 2 ppermutes per
@@ -236,11 +251,14 @@ def _pcg_local_pipelined_slab(S_loc, Pinv_loc, gamma_loc, lam_loc,
     beta) scalars are known — so both collectives (the dots psum and the
     packet exchange) are issued right after the kernel and overlap; neither
     sits between the scalar formation and the kernel.
+
+    lane_inputs=True: S_loc/Pinv_loc arrive as (3, n, n, L) and gamma_loc as
+    (n, L) — the fused slab KKT kernel's native output layout — skipping the
+    knot-leading round-trip.  lam_loc and the returned lam are ALWAYS
+    knot-leading (L, n).
     """
     dtype = gamma_loc.dtype
     exit_tol = jnp.asarray(exit_tol, dtype)
-    L = gamma_loc.shape[0]
-    n = gamma_loc.shape[1]
 
     n_dev = jax.lax.axis_size(axis_name)
     perm_fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
@@ -248,12 +266,19 @@ def _pcg_local_pipelined_slab(S_loc, Pinv_loc, gamma_loc, lam_loc,
     # loop-invariant: neighbor boundary Pinv block-rows for the off-slab
     # u_{-1} / u_{L} rows (structurally-zero corner blocks annihilate the
     # ring-wrap garbage at the global edges, as in _pcg_local_pipelined)
-    PinvL = jax.lax.ppermute(Pinv_loc[-1], axis_name, perm_fwd)  # (3, n, n)
-    PinvR = jax.lax.ppermute(Pinv_loc[0], axis_name, perm_bwd)
-
-    # lane layouts for the kernel
-    S_l = jnp.transpose(S_loc, (1, 2, 3, 0))        # (3, n, n, L)
-    P_l = jnp.transpose(Pinv_loc, (1, 2, 3, 0))
+    if lane_inputs:
+        S_l, P_l, g_l = S_loc, Pinv_loc, gamma_loc
+        n, L = g_l.shape
+        PinvL = jax.lax.ppermute(P_l[..., -1], axis_name, perm_fwd)
+        PinvR = jax.lax.ppermute(P_l[..., 0], axis_name, perm_bwd)
+    else:
+        L, n = gamma_loc.shape
+        PinvL = jax.lax.ppermute(Pinv_loc[-1], axis_name, perm_fwd)
+        PinvR = jax.lax.ppermute(Pinv_loc[0], axis_name, perm_bwd)
+        # lane layouts for the kernel
+        S_l = jnp.transpose(S_loc, (1, 2, 3, 0))    # (3, n, n, L)
+        P_l = jnp.transpose(Pinv_loc, (1, 2, 3, 0))
+        g_l = gamma_loc.T
 
     from mpcgpu_tpu.ops.pcg_pallas import pcg_slab_step_pallas as pcg_slab_step
 
@@ -293,9 +318,8 @@ def _pcg_local_pipelined_slab(S_loc, Pinv_loc, gamma_loc, lam_loc,
             u_inj_prev, u_inj_next, alpha, beta, interpret=interpret)
 
     # ---- init: r0 halos + one (alpha=0, beta=0) step = dual_apply(r0) ----
-    r0 = gamma_loc - btd_matvec_halo(S_loc, lam_loc, axis_name)
-    r0_l = r0.T
     x0_l = lam_loc.T
+    r0_l = g_l - _btd_matvec_halo_lanes(S_l, x0_l, axis_name)
     zvec = jnp.zeros((n, L), dtype)
     zscal = jnp.zeros((), dtype)
     flp0, frp0 = packets(r0_l, zvec, zvec)

@@ -323,17 +323,29 @@ def sqp_solve_sharded(
                 state["it"])
             if fused:
                 lane = build_fused(xu_loc, rho)
-                # knot-leading layout for the sharded PCG (one transpose per
-                # SQP iteration; the CG loop then runs ~max_iter collectives)
-                S = jnp.transpose(lane["S"], (3, 0, 1, 2))
-                Pinv = jnp.transpose(lane["Pinv"], (3, 0, 1, 2))
-                gamma = lane["gamma"].T
+                if pcg_slab:
+                    # feed the slab PCG in the KKT kernel's native lane
+                    # layout — no knot-leading round-trip per SQP iteration
+                    lam_new, lin_iters, lin_ok = _pcg_local_pipelined_slab(
+                        lane["S"], lane["Pinv"], lane["gamma"], lam_loc,
+                        pcg_cfg.max_iter, pcg_cfg.exit_tol, ax,
+                        exit_criterion=pcg_cfg.exit_criterion,
+                        interpret=interpret, lane_inputs=True)
+                else:
+                    S = jnp.transpose(lane["S"], (3, 0, 1, 2))
+                    Pinv = jnp.transpose(lane["Pinv"], (3, 0, 1, 2))
+                    gamma = lane["gamma"].T
+                    lam_new, lin_iters, lin_ok = _pcg_impl(
+                        S, Pinv, gamma, lam_loc, pcg_cfg.max_iter,
+                        pcg_cfg.exit_tol, ax,
+                        exit_criterion=pcg_cfg.exit_criterion)
             else:
                 x, u, xnext, A, B, Q, q, R, r, c = build_blocks(xu_loc)
                 S, Pinv, gamma, Qinv, Rinv = form_schur(A, B, Q, q, R, r, c, rho)
-            lam_new, lin_iters, lin_ok = _pcg_impl(
-                S, Pinv, gamma, lam_loc, pcg_cfg.max_iter, pcg_cfg.exit_tol,
-                ax, exit_criterion=pcg_cfg.exit_criterion)
+                lam_new, lin_iters, lin_ok = _pcg_impl(
+                    S, Pinv, gamma, lam_loc, pcg_cfg.max_iter,
+                    pcg_cfg.exit_tol, ax,
+                    exit_criterion=pcg_cfg.exit_criterion)
             if fused:
                 dz = dz_fused(lane, xu_loc, lam_new, rho)
                 merits = merits_fused(xu_loc, dz)
