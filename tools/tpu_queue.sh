@@ -48,7 +48,8 @@ stage slab_cost_64  python benchmarks/slab_cost.py --length 64
 stage slab_cost_128 python benchmarks/slab_cost.py --length 128
 
 # 5. the unmeasured BASELINE configs[3] point: N=64 batched
-stage run_all_batched python benchmarks/run_all.py --configs 3 --batch-knots 64
+#    (run_all.py numbering: config 4 = the batched-MPC config)
+stage run_all_batched python benchmarks/run_all.py --configs 4 --batch-knots 64
 
 # 6. slab-PCG per-iteration cost (VERDICT r3 item 2 acceptance)
 stage pcg_slab_cost python benchmarks/pcg_slab_cost.py
