@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--save", action="store_true")
     ap.add_argument("--outdir", default="results")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--knot-shards", type=int, default=0,
+                    help="with --ondevice: run every solve knot-sharded SPMD "
+                    "over this many devices (parallel/sqp_sharded.py)")
     ap.add_argument("--ondevice", action="store_true",
                     help="run the whole closed loop as ONE jitted scan "
                          "(no per-control-step host dispatch)")
@@ -88,17 +91,25 @@ def main():
 
         from mpcgpu_tpu.sim.mpc import simulate_mpc_ondevice
 
+        mesh_kw = {}
+        if args.knot_shards:
+            from mpcgpu_tpu.parallel.mesh import make_mesh
+
+            mesh_kw = dict(knot_mesh=make_mesh(1, args.knot_shards),
+                           pcg_method="pipelined_slab")
         tols = args.tols or [1e-5]
         for tol in tols:
             scfg = SQPConfig(max_iter=2, max_time_us=None)
             pcfg = PCGConfig(max_iter=PCGConfig.tuned_max_iter(args.knots),
                              exit_tol=tol, exit_criterion=args.exit_criterion)
             dev = simulate_mpc_ondevice(model, xu_traj, ee_traj, args.knots,
-                                        1.0 / 64.0, sqp_cfg=scfg, pcg_cfg=pcfg)
+                                        1.0 / 64.0, sqp_cfg=scfg, pcg_cfg=pcfg,
+                                        **mesh_kw)
             jax.block_until_ready(dev["final_tracking_error"])
             t0 = time.perf_counter()
             dev = simulate_mpc_ondevice(model, xu_traj, ee_traj, args.knots,
-                                        1.0 / 64.0, sqp_cfg=scfg, pcg_cfg=pcfg)
+                                        1.0 / 64.0, sqp_cfg=scfg, pcg_cfg=pcfg,
+                                        **mesh_kw)
             jax.block_until_ready(dev["final_tracking_error"])
             wall = time.perf_counter() - t0
             steps = int(dev["control_updates"])

@@ -414,8 +414,14 @@ def _finalize_stats(stats: MPCStats) -> None:
 def _ondevice_scan(model, cost, sqp_cfg, pcg_cfg, linsys, timestep, period_s,
                    n_sub, sim_step,
                    xu0, lam0, xs0, ee0, rho0, shift_flags, tails, goal_tails,
-                   offsets, fused=None):
-    """Traced core of the on-device closed loop (shared single/batched)."""
+                   offsets, fused=None, knot_mesh=None,
+                   pcg_method="pipelined"):
+    """Traced core of the on-device closed loop (shared single/batched).
+
+    knot_mesh: optional Mesh — run every solve KNOT-SHARDED over its "knot"
+    axis (parallel/sqp_sharded.py SPMD with the slab kernels + slab-kernel
+    PCG where applicable), so whole long-horizon tracking experiments
+    execute across chips as one program."""
     nq = lam0.shape[-1] // 2
     nx = lam0.shape[-1]
     dtype = xu0.dtype
@@ -425,8 +431,15 @@ def _ondevice_scan(model, cost, sqp_cfg, pcg_cfg, linsys, timestep, period_s,
         xu, xu_old, lam, xs, ee_goal, rho = carry
         do_shift, tail, goal_tail, t_off = inp
 
-        res = sqp_solve(model, cost, sqp_cfg, pcg_cfg, xu, lam, xs,
-                        ee_goal, rho, timestep, linsys=linsys, fused=fused)
+        if knot_mesh is not None:
+            from mpcgpu_tpu.parallel.sqp_sharded import sqp_solve_sharded
+
+            res = sqp_solve_sharded(model, cost, sqp_cfg, pcg_cfg, xu, lam,
+                                    xs, ee_goal, rho, timestep, knot_mesh,
+                                    pcg_method=pcg_method)
+        else:
+            res = sqp_solve(model, cost, sqp_cfg, pcg_cfg, xu, lam, xs,
+                            ee_goal, rho, timestep, linsys=linsys, fused=fused)
         xu_n, lam_n, rho_n = res.xu, res.lam, res.rho
 
         xs_n = plant(model, xs, xu_old, t_off,
@@ -455,16 +468,18 @@ def _ondevice_scan(model, cost, sqp_cfg, pcg_cfg, linsys, timestep, period_s,
 
 
 @partial(jax.jit, static_argnames=("cost", "sqp_cfg", "pcg_cfg", "linsys",
-                                   "timestep", "period_s", "n_sub", "sim_step"))
+                                   "timestep", "period_s", "n_sub", "sim_step",
+                                   "knot_mesh", "pcg_method"))
 def _ondevice_run(model, cost, sqp_cfg, pcg_cfg, linsys, timestep, period_s,
                   n_sub, sim_step,
                   xu0, lam0, xs0, ee0, rho0, shift_flags, tails, goal_tails,
-                  offsets):
+                  offsets, knot_mesh=None, pcg_method="pipelined"):
     """Module-level jit (a closure-local jit would retrace per call)."""
     return _ondevice_scan(model, cost, sqp_cfg, pcg_cfg, linsys, timestep,
                           period_s, n_sub, sim_step,
                           xu0, lam0, xs0, ee0, rho0,
-                          shift_flags, tails, goal_tails, offsets)
+                          shift_flags, tails, goal_tails, offsets,
+                          knot_mesh=knot_mesh, pcg_method=pcg_method)
 
 
 def _ondevice_scan_adaptive(model, cost, sqp_cfg, pcg_cfg, linsys, timestep,
@@ -616,8 +631,15 @@ def simulate_mpc_ondevice(
     dtype=jnp.float32,
     per_iter_us: Optional[float] = None,
     base_us: float = 0.0,
+    knot_mesh=None,
+    pcg_method: str = "pipelined",
 ):
     """The ENTIRE closed-loop tracking run as one jitted ``lax.scan``.
+
+    knot_mesh: optional jax.sharding.Mesh with a "knot" axis — every solve
+    then runs KNOT-SHARDED SPMD (parallel/sqp_sharded.py), so long-horizon
+    tracking experiments execute across chips as one program
+    (const-update-freq mode only).
 
     The reference's control loop lives on the host (mpcsim.cuh:249-397, one
     solver launch + plant kernel per control step); here every control step —
@@ -651,6 +673,8 @@ def simulate_mpc_ondevice(
     shift_threshold = sim_cfg.shift_threshold_frac * timestep
     n_sub = int(period_s / sim_cfg.sim_step_time)
 
+    if knot_mesh is not None and not sim_cfg.const_update_freq:
+        raise ValueError("knot_mesh requires const_update_freq mode")
     if not sim_cfg.const_update_freq:
         xu_traj_j = jnp.asarray(xu_traj, dtype)
         ee_traj_j = jnp.asarray(eepos_traj, dtype)
@@ -701,7 +725,8 @@ def simulate_mpc_ondevice(
     outs, final_err = _ondevice_run(
         model, cost, sqp_cfg, pcg_cfg, linsys, timestep, period_s, n_sub,
         sim_cfg.sim_step_time,
-        xu0, lam0, xs0, ee0, rho0, shift_flags_j, tails, goal_tails, offsets_j)
+        xu0, lam0, xs0, ee0, rho0, shift_flags_j, tails, goal_tails,
+        offsets_j, knot_mesh=knot_mesh, pcg_method=pcg_method)
     return dict(
         tracking_errors=outs["err"][outs["shifted"]],
         xs_path=outs["xs"],

@@ -76,7 +76,19 @@ ref = np.linalg.solve(dense, gamma.ravel()).reshape(N, n)
 for shard in out.lam.addressable_shards:
     np.testing.assert_allclose(np.asarray(shard.data), ref[shard.index],
                                atol=1e-4)
-print(f"proc {pid}: distributed pcg ok, iters={int(out.iters)}", flush=True)
+
+# the slab-kernel pipelined method (one Pallas kernel per CG iteration,
+# interpret mode on CPU) across REAL process boundaries: same collectives,
+# same answer (L = 2 rows per device)
+out2 = pcg_solve_sharded(
+    jnp.asarray(S, jnp.float32), jnp.asarray(Pinv, jnp.float32),
+    jnp.asarray(gamma, jnp.float32), jnp.zeros((N, n), jnp.float32),
+    knot_mesh, max_iter=100, exit_tol=1e-10, method="pipelined_slab")
+for shard in out2.lam.addressable_shards:
+    np.testing.assert_allclose(np.asarray(shard.data), ref[shard.index],
+                               atol=1e-4)
+print(f"proc {pid}: distributed pcg ok, iters={int(out.iters)} "
+      f"slab_iters={int(out2.iters)}", flush=True)
 """
 
 

@@ -240,3 +240,40 @@ def test_batched_fused_ondevice_scan_matches_vmap():
     # here only a loose trajectory envelope
     np.testing.assert_allclose(np.asarray(fused_outs["xs"]),
                                np.asarray(ref_outs["xs"]), atol=0.25)
+
+
+def test_ondevice_sim_knot_sharded_matches_single_device():
+    """simulate_mpc_ondevice(knot_mesh=...): the WHOLE closed-loop tracking
+    experiment with every solve knot-sharded SPMD (round 4: C4 extended
+    across chips) must reproduce the single-device on-device sim."""
+    import jax.numpy as jnp
+
+    from mpcgpu_tpu.config import PCGConfig, SimConfig, SQPConfig
+    from mpcgpu_tpu.models import iiwa14
+    from mpcgpu_tpu.parallel.mesh import make_mesh
+    from mpcgpu_tpu.sim.mpc import simulate_mpc_ondevice
+    from mpcgpu_tpu.utils.trajfiles import load_eepos_traj, load_xu_traj
+
+    model = iiwa14(dtype=jnp.float64)
+    xu_traj = load_xu_traj("0_0")[:80]
+    ee_traj = load_eepos_traj("0_0")[:80]
+    kw = dict(
+        knot_points=16, timestep=1 / 64.0, dtype=jnp.float64,
+        sqp_cfg=SQPConfig(max_iter=2, max_time_us=None),
+        pcg_cfg=PCGConfig(max_iter=60, exit_tol=1e-8),
+        sim_cfg=SimConfig(max_control_updates=30),
+    )
+    ref = simulate_mpc_ondevice(model, xu_traj, ee_traj, **kw)
+    mesh = make_mesh(n_instance=1, n_knot=4)
+    got = simulate_mpc_ondevice(model, xu_traj, ee_traj, knot_mesh=mesh,
+                                pcg_method="pipelined_slab", **kw)
+    import numpy as np
+
+    np.testing.assert_allclose(np.asarray(got["tracking_errors"]),
+                               np.asarray(ref["tracking_errors"]), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got["final_tracking_error"]),
+        np.asarray(ref["final_tracking_error"]), atol=1e-6)
+    # same exit behavior per solve (f64: iterate paths agree to rounding)
+    assert np.max(np.abs(np.asarray(got["pcg_iters"], np.int64)
+                         - np.asarray(ref["pcg_iters"], np.int64))) <= 1
