@@ -113,7 +113,7 @@ def _pcg_slab_step_kernel(x_ref, r_ref, p_ref, s_ref, u_ref, w_ref,
                           S_ref, P_ref, injp_ref, injn_ref,
                           uinjp_ref, uinjn_ref, ab_ref,
                           xo_ref, ro_ref, po_ref, so_ref, uo_ref, wo_ref,
-                          dots_ref):
+                          ru_ref, wu_ref, rr_ref):
     """One Chronopoulos-Gear CG step on a knot SLAB, everything VMEM-local.
 
     The per-shard compute of parallel/pcg_sharded.py's pipelined method
@@ -163,11 +163,11 @@ def _pcg_slab_step_kernel(x_ref, r_ref, p_ref, s_ref, u_ref, w_ref,
     so_ref[:] = s
     uo_ref[:] = u
     wo_ref[:] = w
-    dots_ref[:] = jnp.concatenate([
-        jnp.full((1, 1), jnp.sum(r * u), dtype),
-        jnp.full((1, 1), jnp.sum(w * u), dtype),
-        jnp.full((1, 1), jnp.sum(r * r), dtype),
-    ], axis=1)
+    # three separate (1, 1) scalar outputs — the Mosaic-validated pattern
+    # (lane-axis concatenate of scalar tiles is not)
+    ru_ref[:] = jnp.full((1, 1), jnp.sum(r * u), dtype)
+    wu_ref[:] = jnp.full((1, 1), jnp.sum(w * u), dtype)
+    rr_ref[:] = jnp.full((1, 1), jnp.sum(r * r), dtype)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -182,18 +182,19 @@ def pcg_slab_step_pallas(x, r, p, s, u, w, S_l, P_l, inj_prev, inj_next,
     dtype = x.dtype
     ab = jnp.stack([jnp.asarray(alpha, dtype), jnp.asarray(beta, dtype)])
     vec = jax.ShapeDtypeStruct((n, L), dtype)
+    scal = jax.ShapeDtypeStruct((1, 1), dtype)
     outs = pl.pallas_call(
         _pcg_slab_step_kernel,
-        out_shape=(vec, vec, vec, vec, vec, vec,
-                   jax.ShapeDtypeStruct((1, 3), dtype)),
+        out_shape=(vec, vec, vec, vec, vec, vec, scal, scal, scal),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 7),
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 9),
         input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5},
         interpret=interpret,
     )(x, r, p, s, u, w, S_l, P_l, inj_prev, inj_next, u_inj_prev, u_inj_next,
       ab)
-    return outs[:6] + (outs[6][0],)
+    dots = jnp.concatenate([outs[6][0], outs[7][0], outs[8][0]])
+    return outs[:6] + (dots,)
 
 
 @highest_precision
