@@ -177,6 +177,14 @@ def main():
         linsys = "pcg"
         med, iters = run(linsys, rnorm_cfg)
     eta_med, eta_iters = run(linsys, pcg_cfg)
+    # exact-direct-solve variant (parallel cyclic reduction, C5'/run_all
+    # config 6): one refined PCR solve replaces the whole CG loop — reported
+    # alongside since its accuracy is tolerance-free
+    try:
+        pcr_med, _ = run("pcr_pallas" if linsys == "pcg_pallas" else "pcr",
+                         pcg_cfg)
+    except Exception:  # noqa: BLE001
+        pcr_med = None
 
     # headline = the REFERENCE's exit semantics (||r|| < tol, GBD-PCG /
     # SURVEY.md C17) at the reference tolerance, so the 2 ms budget margin is
@@ -193,6 +201,7 @@ def main():
                 mean_pcg_iters=round(iters, 1),
                 eta_us=round(eta_med, 1),
                 eta_mean_pcg_iters=round(eta_iters, 1),
+                pcr_us=None if pcr_med is None else round(pcr_med, 1),
                 chain_len=K,
                 linsys=linsys,
             )

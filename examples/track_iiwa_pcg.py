@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--save", action="store_true")
     ap.add_argument("--outdir", default="results")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--linsys", default="auto",
+                    help="with --ondevice: linear solver (auto, pcg, "
+                    "pcg_pallas, ldl, pcr, pcr_pallas, qdldl_host)")
     ap.add_argument("--knot-shards", type=int, default=0,
                     help="with --ondevice: run every solve knot-sharded SPMD "
                     "over this many devices (parallel/sqp_sharded.py)")
@@ -104,12 +107,12 @@ def main():
                              exit_tol=tol, exit_criterion=args.exit_criterion)
             dev = simulate_mpc_ondevice(model, xu_traj, ee_traj, args.knots,
                                         1.0 / 64.0, sqp_cfg=scfg, pcg_cfg=pcfg,
-                                        **mesh_kw)
+                                        linsys=args.linsys, **mesh_kw)
             jax.block_until_ready(dev["final_tracking_error"])
             t0 = time.perf_counter()
             dev = simulate_mpc_ondevice(model, xu_traj, ee_traj, args.knots,
                                         1.0 / 64.0, sqp_cfg=scfg, pcg_cfg=pcfg,
-                                        **mesh_kw)
+                                        linsys=args.linsys, **mesh_kw)
             jax.block_until_ready(dev["final_tracking_error"])
             wall = time.perf_counter() - t0
             steps = int(dev["control_updates"])

@@ -54,7 +54,17 @@ stage run_all_batched python benchmarks/run_all.py --configs 4 --batch-knots 64
 # 6. slab-PCG per-iteration cost (VERDICT r3 item 2 acceptance)
 stage pcg_slab_cost python benchmarks/pcg_slab_cost.py
 
-# 7. rnorm cap/tolerance retuning (VERDICT r3 item 4)
-stage tune_rnorm python tools/tune_pcg_caps.py --exit-criterion rnorm --knots 32 64
+# 7. rnorm cap/tolerance retuning (VERDICT r3 item 4) + eta<->rnorm mapping
+stage tune_rnorm python tools/tune_pcg_caps.py --exit-criterion rnorm \
+  --knots 32 64 --tols 1e-5 2.5e-6 1e-6
+stage tune_eta   python tools/tune_pcg_caps.py --exit-criterion eta \
+  --knots 32 64 --tols 1e-5 2.5e-6 1e-6
+
+# 8. exact-direct-solve closed loop: does PCR track as well as PCG at lower
+#    latency? (PCR-SQP measured 228 us cold vs PCG 327 us warm, round 2)
+stage pcr_closed_loop python examples/track_iiwa_pcg.py --knots 64 \
+  --ondevice --linsys pcr_pallas --tols 1e-5
+stage pcg_closed_loop python examples/track_iiwa_pcg.py --knots 64 \
+  --ondevice --linsys pcg_pallas --tols 1e-5
 
 echo "queue done; statuses:"; cat "$OUT/queue_status"
