@@ -72,6 +72,14 @@ def main():
             return acc + out.lam.sum()
         return jax.lax.fori_loop(0, args.K, body, jnp.float32(0.0))
 
+    def chain_xla(g0):
+        def body(i, acc):
+            out = pcg_solve_sharded(
+                schur.S, schur.Pinv, g0 + acc * 1e-20, lam0, mesh,
+                max_iter=args.iters, exit_tol=0.0, method="pipelined")
+            return acc + out.lam.sum()
+        return jax.lax.fori_loop(0, args.K, body, jnp.float32(0.0))
+
     interp = jax.default_backend() != "tpu"
 
     def chain_fused(g0):
@@ -84,6 +92,7 @@ def main():
 
     out = {}
     for name, fn in (("slab_us_per_iter", jax.jit(chain_slab)),
+                     ("xla_pipelined_us_per_iter", jax.jit(chain_xla)),
                      ("fused_us_per_iter", jax.jit(chain_fused))):
         r = fn(schur.gamma)
         jax.block_until_ready(r)
