@@ -752,9 +752,15 @@ def simulate_mpc_ondevice_batched(
     sim_cfg: SimConfig = SimConfig(),
     linsys: str = "auto",
     dtype=jnp.float32,
+    instance_mesh=None,
 ):
     """Scenario-parallel closed-loop MPC: `batch` perturbed-initial-state
     tracking experiments as ONE jitted program.
+
+    instance_mesh: optional Mesh with an "instance" axis — the batch is
+    shard_mapped across its devices (each device runs the identical scan on
+    its local instance slab; zero collectives), so closed-loop MPC fleets
+    scale across chips/hosts.
 
     On TPU (ee cost, stair preconditioner, pcg linsys) every scan step solves
     all B instances through the instance-GRIDDED fused pipeline
@@ -794,6 +800,30 @@ def simulate_mpc_ondevice_batched(
     lam0_b = jnp.zeros((batch, N, nx), dtype)
     ee0_b = jnp.broadcast_to(ee0, (batch,) + ee0.shape)
     rho0_b = jnp.full((batch,), 1e-3, dtype)
+
+    if instance_mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        ax = "instance"
+        if batch % instance_mesh.shape[ax]:
+            raise ValueError(f"batch {batch} not divisible by "
+                             f"{instance_mesh.shape[ax]} instance devices")
+
+        def local(xu_b, lam_b, xs_b, ee_b, rho_b):
+            outs, fe = _ondevice_run_batched(
+                model, cost, sqp_cfg, pcg_cfg, linsys, timestep, period_s,
+                n_sub, sim_cfg.sim_step_time, xu_b, lam_b, xs_b, ee_b, rho_b,
+                shift_flags_j, tails, goal_tails, offsets_j)
+            return outs["err"], outs["shifted"], fe
+
+        fn = shard_map(local, mesh=instance_mesh,
+                       in_specs=(P(ax),) * 5,
+                       out_specs=(P(ax), P(), P(ax)),
+                       check_vma=False)
+        err, shifted, final_err = fn(xu0_b, lam0_b, xs0_b, ee0_b, rho0_b)
+        return dict(tracking_errors=err, shift_mask=shifted,
+                    final_tracking_error=final_err, control_updates=steps)
 
     outs, final_err = _ondevice_run_batched(
         model, cost, sqp_cfg, pcg_cfg, linsys, timestep, period_s, n_sub,

@@ -277,3 +277,38 @@ def test_ondevice_sim_knot_sharded_matches_single_device():
     # same exit behavior per solve (f64: iterate paths agree to rounding)
     assert np.max(np.abs(np.asarray(got["pcg_iters"], np.int64)
                          - np.asarray(ref["pcg_iters"], np.int64))) <= 1
+
+
+def test_ondevice_batched_sim_instance_sharded_matches_unsharded():
+    """simulate_mpc_ondevice_batched(instance_mesh=...): the scenario fleet
+    shard_mapped across devices must reproduce the single-device batched
+    run per instance (round 4: config-8 capability x device sharding)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mpcgpu_tpu.config import PCGConfig, SimConfig, SQPConfig
+    from mpcgpu_tpu.models import iiwa14
+    from mpcgpu_tpu.parallel.mesh import make_mesh
+    from mpcgpu_tpu.sim.mpc import simulate_mpc_ondevice_batched
+    from mpcgpu_tpu.utils.trajfiles import load_eepos_traj, load_xu_traj
+
+    model = iiwa14(dtype=jnp.float64)
+    xu_traj = load_xu_traj("0_0")[:60]
+    ee_traj = load_eepos_traj("0_0")[:60]
+    kw = dict(
+        knot_points=16, timestep=1 / 64.0, batch=8, dtype=jnp.float64,
+        sqp_cfg=SQPConfig(max_iter=1, max_time_us=None),
+        pcg_cfg=PCGConfig(max_iter=40, exit_tol=1e-8),
+        sim_cfg=SimConfig(max_control_updates=20),
+    )
+    ref = simulate_mpc_ondevice_batched(model, xu_traj, ee_traj, **kw)
+    mesh = make_mesh(n_instance=4, n_knot=1)
+    got = simulate_mpc_ondevice_batched(model, xu_traj, ee_traj,
+                                        instance_mesh=mesh, **kw)
+    np.testing.assert_allclose(np.asarray(got["tracking_errors"]),
+                               np.asarray(ref["tracking_errors"]), atol=1e-8)
+    np.testing.assert_array_equal(np.asarray(got["shift_mask"]),
+                                  np.asarray(ref["shift_mask"]))
+    np.testing.assert_allclose(np.asarray(got["final_tracking_error"]),
+                               np.asarray(ref["final_tracking_error"]),
+                               atol=1e-8)
