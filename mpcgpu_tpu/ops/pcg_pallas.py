@@ -109,6 +109,69 @@ def _make_pcg_kernel(unroll: int, exit_criterion: str = "eta"):
     return _pcg_kernel
 
 
+def _make_pcg_dz_kernel(unroll: int, exit_criterion: str, nq: int):
+    """The PCG kernel with the dz-recovery epilogue fused in: one kernel
+    launch replaces the pcg + dz pair of the fused pipeline (one fewer
+    pallas dispatch per SQP iteration; the dz operands are tiny next to
+    S/Pinv already resident in VMEM)."""
+    from mpcgpu_tpu.solver.kkt_pallas import (dz_from_lane_values,
+                                              dz_lane_masks)
+
+    base = _make_pcg_kernel(unroll, exit_criterion)
+
+    def kernel(gamma_ref, lam0_ref, S_ref, Pinv_ref, Qinv_ref, A_ref, B_ref,
+               qv_ref, u_ref, rho_ref, max_iter_ref, tol_ref, scal_ref,
+               lam_ref, dz_ref, iters_ref, conv_ref):
+        base(gamma_ref, lam0_ref, S_ref, Pinv_ref, max_iter_ref, tol_ref,
+             lam_ref, iters_ref, conv_ref)
+        lam = lam_ref[:]                                    # (nx, N)
+        nx, N = lam.shape
+        notl, notlq = dz_lane_masks(nq, N, N, lam.dtype)
+        lam_n = pltpu.roll(lam, N - 1, axis=1) * notl
+        dz_ref[:] = dz_from_lane_values(
+            lam, lam_n, notl, notlq, Qinv_ref[:], A_ref[:], B_ref[:],
+            qv_ref[:], u_ref[:], rho_ref[:], scal_ref[0])
+
+    return kernel
+
+
+@highest_precision
+@partial(jax.jit, static_argnames=("max_iter", "interpret", "unroll",
+                                   "exit_criterion"))
+def pcg_dz_solve_pallas_lanes(lane_kkt: dict, g_l, l_l, u, rho, r_cost,
+                              max_iter: int = 173, exit_tol=1e-6,
+                              interpret: bool = False, unroll: int = 4,
+                              exit_criterion: str = "eta"):
+    """Fused PCG + dz recovery: lane-layout Schur solve then the primal
+    step, one kernel.  lane_kkt: the fused KKT kernel's output dict
+    (S/Pinv (3,n,n,N), Qinv/A (n,n,N), B (n,nq,N), q/gamma (n,N)); u (N,nq)
+    controls; returns (lam (n,N), dz (N, n+nq), iters, converged)."""
+    S_l, P_l = lane_kkt["S"], lane_kkt["Pinv"]
+    _, n, _, N = S_l.shape
+    nq = n // 2
+    dtype = g_l.dtype
+    rho_row = jnp.broadcast_to(jnp.asarray(rho, dtype), (1, N))
+    max_iter_arr = jnp.asarray([max_iter], jnp.int32)
+    tol_arr = jnp.asarray([exit_tol], dtype)
+    scal = jnp.asarray([r_cost], dtype)
+
+    lam_l, dz_l, iters, conv = pl.pallas_call(
+        _make_pcg_dz_kernel(unroll, exit_criterion, nq),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, N), dtype),
+            jax.ShapeDtypeStruct((n + nq, N), dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 4),
+        interpret=interpret,
+    )(g_l, l_l, S_l, P_l, lane_kkt["Qinv"], lane_kkt["A"], lane_kkt["B"],
+      lane_kkt["q"], u.T, rho_row, max_iter_arr, tol_arr, scal)
+    return lam_l, dz_l.T, iters[0, 0], conv[0, 0].astype(jnp.bool_)
+
+
 def _pcg_slab_step_kernel(x_ref, r_ref, p_ref, s_ref, u_ref, w_ref,
                           S_ref, P_ref, injp_ref, injn_ref,
                           uinjp_ref, uinjn_ref, ab_ref,

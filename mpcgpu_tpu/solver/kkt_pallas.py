@@ -908,6 +908,32 @@ def build_kkt_schur_pallas_slab(
     return dict(S=S, Pinv=P, gamma=gamma, Qinv=Qinv, A=A, B=B, q=qv)
 
 
+def dz_from_lane_values(lam, lam_n, notl, notlq, Qinv, A, Bm, qv, u,
+                        rho_row, r_cost):
+    """dz recovery math on lane-layout VALUES (dz.cuh:10-34 equivalent):
+    dx = Qinv (q - lam + A^T lam_+), du = (R+rho I)^{-1} (r + B^T lam_+).
+    Shared by the standalone dz kernel and the PCG+dz fused epilogue."""
+    rhs = qv - lam + _mvn_T(A, lam_n) * notl
+    dx = _mvn(Qinv, rhs)
+    s_r = 1.0 / (r_cost + rho_row)
+    bt = _mvn_T(Bm, lam_n)
+    du = s_r * (r_cost * u + bt) * notlq
+    return jnp.concatenate([dx, du], axis=0)
+
+
+def dz_lane_masks(nq: int, N: int, knots: int, dtype):
+    """(notl (nx, N), notlq (nq, N)) float masks zeroing the global-last
+    knot's lam_{k+1} term and du (dz.cuh:15-19), iota-based (single-chip /
+    packed-instance layouts; the slab path feeds runtime masks instead)."""
+    nx = 2 * nq
+    kvec = jax.lax.broadcasted_iota(jnp.int32, (nx, N), 1)
+    kq = jax.lax.broadcasted_iota(jnp.int32, (nq, N), 1)
+    if knots != N:                                  # packed instances
+        kvec = jax.lax.rem(kvec, jnp.int32(knots))
+        kq = jax.lax.rem(kq, jnp.int32(knots))
+    return ((kvec <= knots - 2).astype(dtype), (kq <= knots - 2).astype(dtype))
+
+
 def _make_dz_kernel(nq: int, N: int, knots: int | None = None,
                     boundary_masks: bool = False):
     nx = 2 * nq
@@ -933,22 +959,11 @@ def _make_dz_kernel(nq: int, N: int, knots: int | None = None,
             notlq = notl
             lam_n = lamn_ref[:] * notl
         else:
-            kvec = jax.lax.broadcasted_iota(jnp.int32, (nx, N), 1)
-            kq = jax.lax.broadcasted_iota(jnp.int32, (nq, N), 1)
-            if knots != N:                                  # packed instances
-                kvec = jax.lax.rem(kvec, jnp.int32(knots))
-                kq = jax.lax.rem(kq, jnp.int32(knots))
-            notl = (kvec <= knots - 2).astype(lam.dtype)
-            notlq = (kq <= knots - 2).astype(lam.dtype)
+            notl, notlq = dz_lane_masks(nq, N, knots, lam.dtype)
             lam_n = pltpu.roll(lam, N - 1, axis=1) * notl   # lam_{k+1}, 0 at N-1
-        rhs = qv_ref[:] - lam + _mvn_T(A_ref[:], lam_n) * notl
-        dx = _mvn(Qinv_ref[:], rhs)
-        # du = (R+rho I)^{-1} (r + B^T lam_{k+1})
-        s_r = 1.0 / (r_cost + rho_row)
-        u = u_ref[:]
-        bt = _mvn_T(Bm_ref[:], lam_n)                       # B^T lam_+ (nq, N)
-        du = s_r * (r_cost * u + bt) * notlq
-        dz_ref[:] = jnp.concatenate([dx, du], axis=0)
+        dz_ref[:] = dz_from_lane_values(
+            lam, lam_n, notl, notlq, Qinv_ref[:], A_ref[:], Bm_ref[:],
+            qv_ref[:], u_ref[:], rho_row, r_cost)
 
     return kernel
 

@@ -60,6 +60,7 @@ def sqp_solve(
     integrator_type: int = 0,
     merit_impl: str = "auto",
     fused: bool | None = None,
+    fused_dz: bool = False,
     drho0=1.0,
     angle_wrap: bool = False,
     iter_budget=None,
@@ -155,8 +156,14 @@ def sqp_solve(
                              angle_wrap)
 
     def fused_step(xu, lam, rho, lin_tol):
-        """KKT -> Schur -> linsys -> dz entirely through the lane kernels."""
-        from mpcgpu_tpu.ops.pcg_pallas import pcg_solve_pallas_lanes
+        """KKT -> Schur -> linsys -> dz entirely through the lane kernels.
+
+        fused_dz=True additionally folds the dz recovery into the PCG
+        kernel's epilogue (3 launches per iteration instead of 4) — opt-in
+        until validated compiled on the chip (tools/tpu_smoke.py covers it).
+        """
+        from mpcgpu_tpu.ops.pcg_pallas import (pcg_dz_solve_pallas_lanes,
+                                               pcg_solve_pallas_lanes)
         from mpcgpu_tpu.solver.kkt_pallas import (
             build_kkt_schur_pallas, compute_dz_pallas)
 
@@ -164,6 +171,13 @@ def sqp_solve(
             model, cost, xu, xs, ee_goal, rho, dt, integrator_type,
             interpret=interpret, angle_wrap=angle_wrap,
         )
+        if fused_dz:
+            lam_l, dz, iters, conv = pcg_dz_solve_pallas_lanes(
+                lane, lane["gamma"], lam.T, xu[:, nx:], rho, cost.r_cost,
+                max_iter=pcg_cfg.max_iter, exit_tol=lin_tol,
+                exit_criterion=pcg_cfg.exit_criterion, interpret=interpret,
+            )
+            return lam_l.T, iters, conv, dz
         res = pcg_solve_pallas_lanes(
             lane["S"], lane["Pinv"], lane["gamma"], lam.T,
             max_iter=pcg_cfg.max_iter, exit_tol=lin_tol,

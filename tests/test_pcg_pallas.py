@@ -90,3 +90,70 @@ def test_rnorm_exit_criterion_sharded():
     assert int(got.iters) == int(ref.iters)
     np.testing.assert_allclose(np.asarray(got.lam), np.asarray(ref.lam),
                                atol=1e-5)
+
+
+def test_pcg_dz_fused_epilogue_matches_split_kernels():
+    """pcg_dz_solve_pallas_lanes (PCG kernel + dz epilogue, ONE launch) ==
+    pcg_solve_pallas_lanes followed by compute_dz_pallas (round 4)."""
+    from mpcgpu_tpu.config import CostConfig
+    from mpcgpu_tpu.models import iiwa14
+    from mpcgpu_tpu.ops.pcg_pallas import (pcg_dz_solve_pallas_lanes,
+                                           pcg_solve_pallas_lanes)
+    from mpcgpu_tpu.solver.kkt_pallas import (build_kkt_schur_pallas,
+                                              compute_dz_pallas)
+    from mpcgpu_tpu.utils.trajfiles import load_eepos_traj, load_xu_traj
+
+    N = 16
+    dtype = jnp.float32
+    model = iiwa14(dtype=dtype)
+    cost = CostConfig.for_knots(N)
+    xu = jnp.asarray(load_xu_traj("0_0")[:N], dtype)
+    ee = jnp.asarray(load_eepos_traj("0_0")[:N], dtype)
+    xu = xu + 0.02 * jax.random.normal(jax.random.PRNGKey(0), xu.shape, dtype)
+    rho = jnp.asarray(1e-3, dtype)
+    lane = build_kkt_schur_pallas(model, cost, xu, xu[0, :14], ee, rho,
+                                  1 / 64.0, interpret=True)
+    lam0 = jnp.zeros((14, N), dtype)
+
+    ref = pcg_solve_pallas_lanes(lane["S"], lane["Pinv"], lane["gamma"],
+                                 lam0, max_iter=60, exit_tol=1e-7,
+                                 interpret=True)
+    dz_ref = compute_dz_pallas(lane, ref.lam.T, xu[:, 14:], rho,
+                               cost.r_cost, interpret=True)
+
+    lam_l, dz, iters, conv = pcg_dz_solve_pallas_lanes(
+        lane, lane["gamma"], lam0, xu[:, 14:], rho, cost.r_cost,
+        max_iter=60, exit_tol=1e-7, interpret=True)
+    np.testing.assert_allclose(np.asarray(lam_l), np.asarray(ref.lam),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dz), np.asarray(dz_ref), atol=1e-6)
+    assert int(iters) == int(ref.iters)
+    assert bool(conv) == bool(ref.converged)
+
+
+def test_sqp_fused_dz_matches_split():
+    """sqp_solve(fused=True, fused_dz=True) == fused_dz=False bit-for-bit
+    in interpret mode (same math, one fewer kernel launch)."""
+    from mpcgpu_tpu.config import CostConfig, PCGConfig, SQPConfig
+    from mpcgpu_tpu.models import iiwa14
+    from mpcgpu_tpu.solver.sqp import sqp_solve
+    from mpcgpu_tpu.utils.trajfiles import load_eepos_traj, load_xu_traj
+
+    N = 16
+    dtype = jnp.float32
+    model = iiwa14(dtype=dtype)
+    cost = CostConfig.for_knots(N)
+    xu = jnp.asarray(load_xu_traj("0_0")[:N], dtype)
+    ee = jnp.asarray(load_eepos_traj("0_0")[:N], dtype)
+    xu = xu + 0.02 * jax.random.normal(jax.random.PRNGKey(1), xu.shape, dtype)
+    lam = jnp.zeros((N, 14), dtype)
+    scfg = SQPConfig(max_iter=2)
+    pcfg = PCGConfig(max_iter=40, exit_tol=1e-6)
+    kw = dict(linsys="pcg_pallas", merit_impl="pallas", fused=True)
+    ref = sqp_solve(model, cost, scfg, pcfg, xu, lam, xu[0, :14], ee, 1e-3,
+                    1 / 64.0, **kw)
+    got = sqp_solve(model, cost, scfg, pcfg, xu, lam, xu[0, :14], ee, 1e-3,
+                    1 / 64.0, fused_dz=True, **kw)
+    np.testing.assert_array_equal(np.asarray(got.xu), np.asarray(ref.xu))
+    np.testing.assert_array_equal(np.asarray(got.pcg_iters),
+                                  np.asarray(ref.pcg_iters))

@@ -54,6 +54,9 @@ stage run_all_batched python benchmarks/run_all.py --configs 4 --batch-knots 64
 # 6. slab-PCG per-iteration cost (VERDICT r3 item 2 acceptance)
 stage pcg_slab_cost python benchmarks/pcg_slab_cost.py
 
+# 6b. per-stage profile (PARITY per-stage table)
+stage profile_stages python benchmarks/profile_stages.py -K 200
+
 # 7. rnorm cap/tolerance retuning (VERDICT r3 item 4) + eta<->rnorm mapping
 stage tune_rnorm python tools/tune_pcg_caps.py --exit-criterion rnorm \
   --knots 32 64 --tols 1e-5 2.5e-6 1e-6

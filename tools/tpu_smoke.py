@@ -112,6 +112,17 @@ def run_for_knots(N, skip_slow=False):
     dz_x = compute_dz(kkt_x, schur, res_x.lam)
     check("dz", N, dz_p, dz_x)
 
+    # --- fused PCG+dz epilogue kernel (round 4, opt-in fused_dz path) ---
+    from mpcgpu_tpu.ops.pcg_pallas import pcg_dz_solve_pallas_lanes
+
+    lam0_l = jnp.zeros_like(lane["gamma"])
+    lam_l, dz_f, it_f, _ = pcg_dz_solve_pallas_lanes(
+        lane, lane["gamma"], lam0_l, xu[:, 14:], rho, cost.r_cost,
+        max_iter=cap, exit_tol=1e-7)
+    check("pcg_dz.lam", N, lam_l.T, res_x.lam, atol_scale=5e-4)
+    check("pcg_dz.dz", N, dz_f, dz_x, atol_scale=5e-4)
+    print(f"      pcg_dz iters: fused={int(it_f)}")
+
     # --- merit kernel ---
     m_p, _ = line_search_merits_pallas(model, cost, xu, dz_x, xs, ee,
                                        10.0, dt)
