@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--save", action="store_true")
     ap.add_argument("--outdir", default="results")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--linsys", default="ldl",
+                    choices=["ldl", "pcr", "pcr_pallas", "qdldl_host"],
+                    help="direct solver: 'ldl' = on-device block LDL^T "
+                    "(default; no per-iteration D2H), 'qdldl_host' = the "
+                    "reference's literal host factor/solve round-trip "
+                    "(qdldl/sqp.cuh:268-273)")
     args = ap.parse_args()
 
     model = iiwa14(dtype=jnp.float32)
@@ -53,7 +59,7 @@ def main():
                 timestep=1.0 / 64.0,
                 sqp_cfg=SQPConfig(),
                 sim_cfg=SimConfig(),
-                linsys="ldl",
+                linsys=args.linsys,
                 verbose=args.verbose,
             )
             s = stats.summary()
