@@ -222,6 +222,45 @@ def run_pcg_slab(N):
     print(f"      pcg_slab iters: slab={int(got.iters)} xla={int(want.iters)}")
 
 
+def run_chain(N=32, nq=5):
+    """nq-generic compiled check: a programmatic 5-dof chain (not the baked
+    IIWA) through the fused KKT+Schur kernel and PCG vs the XLA twins —
+    guards the nq-generic claim on silicon, not just in interpret mode."""
+    from mpcgpu_tpu.config import CostConfig
+    from mpcgpu_tpu.models.chain import planar_arm
+    from mpcgpu_tpu.ops.pcg import pcg_solve
+    from mpcgpu_tpu.ops.pcg_pallas import pcg_solve_pallas
+    from mpcgpu_tpu.ops.schur import form_schur_system
+    from mpcgpu_tpu.solver.kkt import build_kkt
+    from mpcgpu_tpu.solver.kkt_pallas import build_kkt_schur_pallas
+
+    dtype = jnp.float32
+    model = planar_arm(nq=nq, dtype=dtype)
+    cost = CostConfig()
+    nx = 2 * nq
+    key = jax.random.PRNGKey(3)
+    xu = 0.3 * jax.random.normal(key, (N, nx + nq), dtype)
+    ee = jnp.broadcast_to(jnp.asarray([0.5, 0.5, 0.0, 0, 0, 0], dtype),
+                          (N, 6))
+    rho = jnp.float32(1e-3)
+    dt = 1.0 / 64.0
+    lane = build_kkt_schur_pallas(model, cost, xu, xu[0, :nx], ee, rho, dt)
+    kkt = build_kkt(model, cost, xu, xu[0, :nx], ee, dt)
+    schur = form_schur_system(kkt, rho)
+    # 5e-5 scale: the random-state planar chain accumulates slightly more
+    # f32 reassociation drift than the IIWA trace points (measured 3.3e-5)
+    check(f"chain{nq}.S", N, jnp.transpose(lane["S"], (3, 0, 1, 2)), schur.S,
+          atol_scale=5e-5)
+    check(f"chain{nq}.gamma", N, lane["gamma"].T, schur.gamma,
+          atol_scale=5e-5)
+    lam0 = jnp.zeros_like(schur.gamma)
+    rp = pcg_solve_pallas(schur.S, schur.Pinv, schur.gamma, lam0,
+                          max_iter=120, exit_tol=1e-7)
+    rx = pcg_solve(schur.S, schur.Pinv, schur.gamma, lam0,
+                   max_iter=120, exit_tol=1e-7)
+    check(f"chain{nq}.pcg", N, rp.lam, rx.lam, atol_scale=5e-4)
+
+
 def run_batched(skip_slow=False):
     """Batched gridded fused pipeline vs vmapped unfused (N=32, I=4)."""
     from mpcgpu_tpu.config import CostConfig, PCGConfig, SQPConfig
@@ -270,6 +309,7 @@ def main():
         for N in (64,):
             if max(args.knots) >= N:
                 run_pcg_slab(N)
+        run_chain()
 
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILURES: {FAILURES}")
