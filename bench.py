@@ -129,14 +129,14 @@ def main():
     linsys = "pcg_pallas" if jax.default_backend() == "tpu" else "pcg"
     K = 256
 
-    def make_chain(linsys, pcg_cfg):
+    def make_chain(linsys, pcg_cfg, fused_dz=False):
         @jax.jit
         def chain(xu0, lam0, xs0, ee0, rho0):
             def body(i, carry):
                 xu_, lam_, xs_, ee_, rho_, iters = carry
                 res = sqp_solve(
                     model, cost, sqp_cfg, pcg_cfg, xu_, lam_, xs_, ee_, rho_,
-                    1.0 / 64.0, linsys=linsys,
+                    1.0 / 64.0, linsys=linsys, fused_dz=fused_dz,
                 )
                 # MPC shift (mpcsim.cuh:297-347): advance one knot, backfill
                 # the tail, move the goal window along the recorded trace
@@ -155,9 +155,9 @@ def main():
 
         return chain
 
-    def run(linsys, pcg_cfg):
+    def run(linsys, pcg_cfg, fused_dz=False):
         """(median us/solve over 5 chains, mean pcg iters) or None."""
-        fn = make_chain(linsys, pcg_cfg)
+        fn = make_chain(linsys, pcg_cfg, fused_dz=fused_dz)
         out = fn(xu, lam, xs, ee0, rho)
         jax.block_until_ready(out)
         samples = []
@@ -185,6 +185,14 @@ def main():
                          pcg_cfg)
     except Exception:  # noqa: BLE001
         pcr_med = None
+    # fused PCG+dz epilogue variant (3 kernel launches instead of 4; opt-in
+    # pending this very measurement — flip the default if it wins)
+    fdz_med = None
+    if linsys == "pcg_pallas":
+        try:
+            fdz_med, _ = run(linsys, rnorm_cfg, fused_dz=True)
+        except Exception:  # noqa: BLE001
+            pass
 
     # headline = the REFERENCE's exit semantics (||r|| < tol, GBD-PCG /
     # SURVEY.md C17) at the reference tolerance, so the 2 ms budget margin is
@@ -202,6 +210,7 @@ def main():
                 eta_us=round(eta_med, 1),
                 eta_mean_pcg_iters=round(eta_iters, 1),
                 pcr_us=None if pcr_med is None else round(pcr_med, 1),
+                fused_dz_us=None if fdz_med is None else round(fdz_med, 1),
                 chain_len=K,
                 linsys=linsys,
             )
