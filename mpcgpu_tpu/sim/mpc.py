@@ -486,7 +486,8 @@ def _ondevice_scan_adaptive(model, cost, sqp_cfg, pcg_cfg, linsys, timestep,
                             n_sub, sim_step, shift_threshold, per_iter_s,
                             base_s, n_steps, traj_steps,
                             xu0, lam0, xs0, ee0, rho0, xu_traj_j, ee_traj_j,
-                            fused=None):
+                            fused=None, knot_mesh=None,
+                            pcg_method="pipelined"):
     """Adaptive-frequency closed loop entirely on device.
 
     The reference's non-CONST_UPDATE_FREQ mode advances the plant by the
@@ -512,8 +513,15 @@ def _ondevice_scan_adaptive(model, cost, sqp_cfg, pcg_cfg, linsys, timestep,
         (xu, xu_old, lam, xs, ee_goal, rho, time_since, traj_offset,
          shifted, prev_sim, active) = carry
 
-        res = sqp_solve(model, cost, sqp_cfg, pcg_cfg, xu, lam, xs,
-                        ee_goal, rho, timestep, linsys=linsys, fused=fused)
+        if knot_mesh is not None:
+            from mpcgpu_tpu.parallel.sqp_sharded import sqp_solve_sharded
+
+            res = sqp_solve_sharded(model, cost, sqp_cfg, pcg_cfg, xu, lam,
+                                    xs, ee_goal, rho, timestep, knot_mesh,
+                                    pcg_method=pcg_method)
+        else:
+            res = sqp_solve(model, cost, sqp_cfg, pcg_cfg, xu, lam, xs,
+                            ee_goal, rho, timestep, linsys=linsys, fused=fused)
         xu_n, lam_n, rho_n = res.xu, res.lam, res.rho
 
         sim_time = jnp.clip(
@@ -572,15 +580,18 @@ def _ondevice_scan_adaptive(model, cost, sqp_cfg, pcg_cfg, linsys, timestep,
 @partial(jax.jit, static_argnames=("cost", "sqp_cfg", "pcg_cfg", "linsys",
                                    "timestep", "n_sub", "sim_step",
                                    "shift_threshold", "per_iter_s", "base_s",
-                                   "n_steps", "traj_steps"))
+                                   "n_steps", "traj_steps", "knot_mesh",
+                                   "pcg_method"))
 def _ondevice_run_adaptive(model, cost, sqp_cfg, pcg_cfg, linsys, timestep,
                            n_sub, sim_step, shift_threshold, per_iter_s,
                            base_s, n_steps, traj_steps,
-                           xu0, lam0, xs0, ee0, rho0, xu_traj_j, ee_traj_j):
+                           xu0, lam0, xs0, ee0, rho0, xu_traj_j, ee_traj_j,
+                           knot_mesh=None, pcg_method="pipelined"):
     return _ondevice_scan_adaptive(
         model, cost, sqp_cfg, pcg_cfg, linsys, timestep, n_sub, sim_step,
         shift_threshold, per_iter_s, base_s, n_steps, traj_steps,
-        xu0, lam0, xs0, ee0, rho0, xu_traj_j, ee_traj_j)
+        xu0, lam0, xs0, ee0, rho0, xu_traj_j, ee_traj_j,
+        knot_mesh=knot_mesh, pcg_method=pcg_method)
 
 
 def _ondevice_schedule(xu_traj, eepos_traj, N, nx, nu, timestep, period_s,
@@ -673,8 +684,13 @@ def simulate_mpc_ondevice(
     shift_threshold = sim_cfg.shift_threshold_frac * timestep
     n_sub = int(period_s / sim_cfg.sim_step_time)
 
-    if knot_mesh is not None and not sim_cfg.const_update_freq:
-        raise ValueError("knot_mesh requires const_update_freq mode")
+    if (knot_mesh is not None and not sim_cfg.const_update_freq
+            and per_iter_us is None):
+        # the one-time latency calibration measures the single-device
+        # solver; a knot-sharded adaptive loop must be given its own
+        # measured per-iteration latency explicitly
+        raise ValueError("adaptive mode with knot_mesh requires an explicit "
+                         "per_iter_us (calibrate the sharded solver once)")
     if not sim_cfg.const_update_freq:
         xu_traj_j = jnp.asarray(xu_traj, dtype)
         ee_traj_j = jnp.asarray(eepos_traj, dtype)
@@ -698,7 +714,8 @@ def simulate_mpc_ondevice(
             sim_cfg.sim_step_time, shift_threshold,
             float(per_iter_us) * 1e-6, float(base_us) * 1e-6,
             n_steps, traj_steps,
-            xu0, lam0, xs0, ee0, rho0, xu_traj_j, ee_traj_j)
+            xu0, lam0, xs0, ee0, rho0, xu_traj_j, ee_traj_j,
+            knot_mesh=knot_mesh, pcg_method=pcg_method)
         active = outs["active"]
         return dict(
             tracking_errors=outs["err"][outs["shifted"]],

@@ -312,3 +312,35 @@ def test_ondevice_batched_sim_instance_sharded_matches_unsharded():
     np.testing.assert_allclose(np.asarray(got["final_tracking_error"]),
                                np.asarray(ref["final_tracking_error"]),
                                atol=1e-8)
+
+
+def test_ondevice_sim_adaptive_knot_sharded_matches_single_device():
+    """Adaptive-frequency on-device sim with knot_mesh: the data-dependent
+    shift schedule runs SPMD; matches the single-device adaptive sim when
+    both use the same explicit per_iter_us model."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mpcgpu_tpu.config import PCGConfig, SimConfig, SQPConfig
+    from mpcgpu_tpu.models import iiwa14
+    from mpcgpu_tpu.parallel.mesh import make_mesh
+    from mpcgpu_tpu.sim.mpc import simulate_mpc_ondevice
+    from mpcgpu_tpu.utils.trajfiles import load_eepos_traj, load_xu_traj
+
+    model = iiwa14(dtype=jnp.float64)
+    xu_traj = load_xu_traj("0_0")[:60]
+    ee_traj = load_eepos_traj("0_0")[:60]
+    kw = dict(
+        knot_points=16, timestep=1 / 64.0, dtype=jnp.float64,
+        sqp_cfg=SQPConfig(max_iter=2, max_time_us=None),
+        pcg_cfg=PCGConfig(max_iter=40, exit_tol=1e-8),
+        sim_cfg=SimConfig(max_control_updates=20, const_update_freq=False),
+        per_iter_us=400.0,   # explicit solve-time model for both runs
+    )
+    ref = simulate_mpc_ondevice(model, xu_traj, ee_traj, **kw)
+    mesh = make_mesh(n_instance=1, n_knot=4)
+    got = simulate_mpc_ondevice(model, xu_traj, ee_traj, knot_mesh=mesh,
+                                pcg_method="pipelined_slab", **kw)
+    assert got["control_updates"] == ref["control_updates"]
+    np.testing.assert_allclose(np.asarray(got["tracking_errors"]),
+                               np.asarray(ref["tracking_errors"]), atol=1e-6)
