@@ -60,6 +60,9 @@ def main():
                          "defaults to 100 — here jit caching makes warm-up "
                          "redundant beyond the single compile call, so the "
                          "default is 0)")
+    ap.add_argument("--forcing", default="fixed", choices=["fixed", "ew"],
+                    help="per-SQP-iteration linear-solve tolerance schedule "
+                         "(ew = Eisenstat-Walker-style loose first solve)")
     ap.add_argument("--live-print-path", action="store_true",
                     help="stream the measured state every control step "
                          "(LIVE_PRINT_PATH, settings.cuh:20-26)")
@@ -104,7 +107,8 @@ def main():
         for tol in tols:
             scfg = SQPConfig(max_iter=2, max_time_us=None)
             pcfg = PCGConfig(max_iter=PCGConfig.tuned_max_iter(args.knots),
-                             exit_tol=tol, exit_criterion=args.exit_criterion)
+                             exit_tol=tol, exit_criterion=args.exit_criterion,
+                             forcing=args.forcing)
             dev = simulate_mpc_ondevice(model, xu_traj, ee_traj, args.knots,
                                         1.0 / 64.0, sqp_cfg=scfg, pcg_cfg=pcfg,
                                         linsys=args.linsys, **mesh_kw)
@@ -140,7 +144,8 @@ def main():
                     sqp_cfg=SQPConfig(),
                     pcg_cfg=PCGConfig(max_iter=PCGConfig.tuned_max_iter(args.knots),
                                       exit_tol=tol,
-                                      exit_criterion=args.exit_criterion),
+                                      exit_criterion=args.exit_criterion,
+                                      forcing=args.forcing),
                     sim_cfg=SimConfig(remove_jitters=args.remove_jitters,
                                       live_print_path=args.live_print_path),
                     linsys="pcg",

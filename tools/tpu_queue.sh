@@ -63,6 +63,16 @@ stage tune_rnorm python tools/tune_pcg_caps.py --exit-criterion rnorm \
 stage tune_eta   python tools/tune_pcg_caps.py --exit-criterion eta \
   --knots 32 64 --tols 1e-5 2.5e-6 1e-6
 
+# 7b. negative studies at PRODUCTION shapes on the chip (VERDICT r3 weak 7:
+#     the round-3 conclusions came from N=16/N=32 CPU runs)
+stage warmstart_64 python benchmarks/warmstart_study.py --knots 64 --steps 64
+stage precond_prod python benchmarks/precond_study.py --knots 64 512 \
+  --tols 1e-5 1e-6
+stage forcing_off python examples/track_iiwa_pcg.py --knots 64 --ondevice \
+  --tols 1e-5 --exit-criterion rnorm --forcing fixed
+stage forcing_ew  python examples/track_iiwa_pcg.py --knots 64 --ondevice \
+  --tols 1e-5 --exit-criterion rnorm --forcing ew
+
 # 8. exact-direct-solve closed loop: does PCR track as well as PCG at lower
 #    latency? (PCR-SQP measured 228 us cold vs PCG 327 us warm, round 2)
 stage pcr_closed_loop python examples/track_iiwa_pcg.py --knots 64 \
