@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mpcgpu_tpu.utils.mosaic import kernel_compiler_params
+
 from mpcgpu_tpu.ops.pcg import PCGResult
 from mpcgpu_tpu.precision import highest_precision
 
@@ -166,6 +168,7 @@ def pcg_dz_solve_pallas_lanes(lane_kkt: dict, g_l, l_l, u, rho, r_cost,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10
         + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
         out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 4),
+        compiler_params=kernel_compiler_params(),
         interpret=interpret,
     )(g_l, l_l, S_l, P_l, lane_kkt["Qinv"], lane_kkt["A"], lane_kkt["B"],
       lane_kkt["q"], u.T, rho_row, max_iter_arr, tol_arr, scal)
@@ -253,6 +256,7 @@ def pcg_slab_step_pallas(x, r, p, s, u, w, S_l, P_l, inj_prev, inj_next,
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 9),
         input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5},
+        compiler_params=kernel_compiler_params(),
         interpret=interpret,
     )(x, r, p, s, u, w, S_l, P_l, inj_prev, inj_next, u_inj_prev, u_inj_next,
       ab)
@@ -328,6 +332,7 @@ def pcg_solve_pallas_lanes(S_l, P_l, g_l, l_l, max_iter: int = 173,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
+        compiler_params=kernel_compiler_params(),
         interpret=interpret,
     )(g_l, l_l, S_l, P_l, max_iter_arr, tol_arr)
 

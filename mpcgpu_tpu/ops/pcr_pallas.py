@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mpcgpu_tpu.utils.mosaic import kernel_compiler_params
+
 from mpcgpu_tpu.precision import highest_precision
 from mpcgpu_tpu.solver.kkt_pallas import _gj_inverse_lanes, _mmn, _mvn
 from mpcgpu_tpu.ops.pcg_pallas import _matvec_lanes
@@ -100,6 +102,7 @@ def pcr_solve_pallas_lanes(S_l, b_l, refine: int = 1, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((n, N), b_l.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=kernel_compiler_params(),
         interpret=interpret,
     )(S_l, b_l)
 

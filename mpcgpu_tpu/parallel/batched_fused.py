@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mpcgpu_tpu.utils.mosaic import kernel_compiler_params
+
 from mpcgpu_tpu.config import CostConfig, PCGConfig, SQPConfig
 from mpcgpu_tpu.models.robot import RobotModel
 from mpcgpu_tpu.ops.pcg_pallas import _matvec_lanes
@@ -161,6 +163,7 @@ def build_kkt_schur_batched(
         out_specs=grid_out,
         scratch_shapes=(
             [pltpu.VMEM((nq, 6, L), dtype)] if L > 128 else []),
+        compiler_params=kernel_compiler_params(),
         interpret=interpret,
     )(xu_l, xeval_l, goal_l, rho_l, dt_arr,
       model.xc, model.xs, model.xcos, model.inertia,
@@ -350,6 +353,7 @@ def pcg_solve_batched_lanes(S_g, P_g, gamma_g, lam0_g, knots: int,
             pl.BlockSpec((1, 1, I), lambda g: (g, 0, 0)),
             pl.BlockSpec((1, 1, I), lambda g: (g, 0, 0)),
         ),
+        compiler_params=kernel_compiler_params(),
         interpret=interpret,
     )(gamma_g, lam0_g, S_g, P_g, max_iter_arr, tol_arr)
     return lam, iters[:, 0, :], conv[:, 0, :].astype(jnp.bool_)
@@ -399,6 +403,7 @@ def compute_dz_batched(lane_kkt: dict, lam_g, u_g, rho_b, r_cost, knots: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, nx + nq, L), lambda g: (g, 0, 0)),
+        compiler_params=kernel_compiler_params(),
         interpret=interpret,
     )(lam_g, Qinv, lane_kkt["A"], lane_kkt["B"], lane_kkt["q"], u_g, rho_l,
       scal)

@@ -19,6 +19,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mpcgpu_tpu.utils.mosaic import kernel_compiler_params
+
 from mpcgpu_tpu.models.robot import RobotModel
 from mpcgpu_tpu.precision import highest_precision
 from mpcgpu_tpu.solver.merit_pallas import (_crf_apply, _matmat,
@@ -134,6 +136,7 @@ def simulate_plant_pallas(model: RobotModel, xs, xu_plan, time_offset_s,
         + [pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=kernel_compiler_params(),
         interpret=interpret,
     )(xs[:, None], xu_plan[:, 2 * nq :].T, scal,
       model.xc, model.xs, model.xcos, model.inertia)

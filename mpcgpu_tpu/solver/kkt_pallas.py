@@ -35,6 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mpcgpu_tpu.utils.mosaic import kernel_compiler_params
+
 from mpcgpu_tpu.config import CostConfig
 from mpcgpu_tpu.models.robot import RobotModel
 from mpcgpu_tpu.precision import highest_precision
@@ -579,6 +581,7 @@ def build_kkt_pallas(
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)),
         scratch_shapes=(
             [pltpu.VMEM((nq, 6, N), dtype)] if launder else []),
+        compiler_params=kernel_compiler_params(),
         interpret=interpret,
     )(xu_l, xeval_l, goal_l, dt_arr,
       model.xc, model.xs, model.xcos, model.inertia,
@@ -842,6 +845,7 @@ def build_kkt_schur_pallas(
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(7)),
         scratch_shapes=(
             [pltpu.VMEM((nq, 6, N), dtype)] if N > 128 else []),
+        compiler_params=kernel_compiler_params(),
         interpret=interpret,
     )(xu.T, x_eval.T, ee_goal[:, :3].T, rho_row, dt_arr,
       model.xc, model.xs, model.xcos, model.inertia,
@@ -901,6 +905,7 @@ def build_kkt_schur_pallas_slab(
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(7)),
         scratch_shapes=(
             [pltpu.VMEM((nq, 6, Lext), dtype)] if Lext > 128 else []),
+        compiler_params=kernel_compiler_params(),
         interpret=interpret,
     )(xu_ext.T, x_eval_ext.T, ee_goal_ext[:, :3].T, rho_row, bmask, dt_arr,
       model.xc, model.xs, model.xcos, model.inertia,
@@ -988,6 +993,7 @@ def compute_dz_pallas(lane_kkt: dict, lam, u, rho, r_cost,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=kernel_compiler_params(),
         interpret=interpret,
     )(lam.T, Qinv, lane_kkt["A"], lane_kkt["B"], lane_kkt["q"], u.T, rho_row, scal)
     return dz_l.T
@@ -1017,6 +1023,7 @@ def compute_dz_pallas_slab(lane_kkt: dict, lam, lam_next, last_mask, u, rho,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=kernel_compiler_params(),
         interpret=interpret,
     )(lam.T, lam_next.T, lastm, Qinv, lane_kkt["A"], lane_kkt["B"],
       lane_kkt["q"], u.T, rho_row, scal)

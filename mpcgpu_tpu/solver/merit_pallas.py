@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mpcgpu_tpu.utils.mosaic import kernel_compiler_params
+
 from mpcgpu_tpu.config import CostConfig
 from mpcgpu_tpu.models.robot import RobotModel
 from mpcgpu_tpu.precision import highest_precision
@@ -285,6 +287,7 @@ def line_search_merits_pallas(
         ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=pl.BlockSpec((2, Bl), lambda g: (0, g)),
+        compiler_params=kernel_compiler_params(),
         interpret=interpret,
     )(cand_l, goal_l, dt_arr,
       model.xc, model.xs, model.xcos, model.inertia,
@@ -356,6 +359,7 @@ def line_search_merit_partials_slab(
         ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=pl.BlockSpec((2, Bl), lambda g: (0, g)),
+        compiler_params=kernel_compiler_params(),
         interpret=interpret,
     )(cand_l, goal_l, dt_arr,
       model.xc, model.xs, model.xcos, model.inertia,
