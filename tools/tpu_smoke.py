@@ -126,7 +126,8 @@ def run_for_knots(N, skip_slow=False):
     # --- merit kernel ---
     m_p, _ = line_search_merits_pallas(model, cost, xu, dz_x, xs, ee,
                                        10.0, dt)
-    m_x, _ = line_search_merits(model, cost, xu, dz_x, xs, ee, 10.0, dt)
+    m_x, _ = line_search_merits(model, cost, xu, dz_x, xs, ee, 10.0, dt,
+                                include_zero=True)
     check("merit", N, m_p, m_x)
 
     # --- plant step kernel (sim/plant_pallas.py) ---
