@@ -30,11 +30,16 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".jax_cache"))
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-METRIC = "sqp_pcg_iteration_latency_iiwa_n64_rnorm"
+# NO top-level `import jax` here: when the TPU tunnel is wedged, the axon
+# plugin BLOCKS INSIDE `import jax` (uninterruptible, in C) — a top-level
+# import would hang the GUARD process itself before the subprocess probe
+# ever runs, defeating the whole watchdog (observed live, round 5).  jax is
+# imported only inside the worker paths (main()), which run as killable
+# children under run_guarded.
+
+METRIC = "sqp_pcg_iteration_latency_iiwa_n64"
 
 
 def emit_unavailable(reason):
@@ -104,7 +109,10 @@ def probe_backend(attempts=None, retry_sleep_s=None, _probe_fn=None):
     raise last
 
 
-def main():
+def main(repeats: int = 0):
+    import jax
+    import jax.numpy as jnp
+
     from mpcgpu_tpu.config import CostConfig, PCGConfig, SQPConfig
     from mpcgpu_tpu.solver.sqp import sqp_solve
     from mpcgpu_tpu.utils.trajfiles import load_eepos_traj, load_xu_traj
@@ -170,13 +178,54 @@ def main():
 
     import dataclasses
 
-    rnorm_cfg = dataclasses.replace(pcg_cfg, exit_criterion="rnorm")
+    if repeats:
+        # Interleaved A/B noise protocol (VERDICT r4 item 3): `repeats`
+        # alternated chain timings per variant, median +- IQR each, one JSON
+        # line per variant plus an adjudication line.  Used for default
+        # flips (fused_dz) where the margin must exceed the measured noise.
+        fns = {
+            "fused_dz_off": make_chain(linsys, pcg_cfg, fused_dz=False),
+            "fused_dz_on": make_chain(linsys, pcg_cfg, fused_dz=True),
+        }
+        samples = {k: [] for k in fns}
+        for fn in fns.values():  # compile both before timing
+            jax.block_until_ready(fn(xu, lam, xs, ee0, rho))
+        for _ in range(repeats):
+            for k, fn in fns.items():  # alternate variants within each rep
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn(xu, lam, xs, ee0, rho))
+                samples[k].append((time.perf_counter() - t0) * 1e6 / K)
+        stats = {}
+        for k, v in samples.items():
+            q1, q2, q3 = np.percentile(v, [25, 50, 75])
+            stats[k] = dict(median_us=round(float(q2), 1),
+                            iqr_us=round(float(q3 - q1), 1),
+                            n=repeats)
+            print(json.dumps(dict(metric=f"ab_{k}_n64", unit="us",
+                                  **stats[k])))
+        d = stats["fused_dz_on"]["median_us"] - stats["fused_dz_off"]["median_us"]
+        noise = max(stats["fused_dz_on"]["iqr_us"],
+                    stats["fused_dz_off"]["iqr_us"])
+        print(json.dumps(dict(metric="ab_fused_dz_verdict",
+                              delta_us=round(d, 1), iqr_noise_us=noise,
+                              significant=bool(abs(d) > noise),
+                              winner=("on" if d < 0 else "off"))))
+        return
+
+    # headline = the REFERENCE's exit semantics at the reference tolerance:
+    # |eta| = |r . P^-1 r| < tol (GBD-PCG / SURVEY.md C17, re-derived round
+    # 5 — the consumed kernel surface only reduces p.Sp and eta, and the
+    # 1e-11 warm-up tol is reachable only by eta in f32).  The absolute
+    # ||r|| criterion is reported alongside as `rnorm_us`; at tol=1e-5 it
+    # sits below the f32 residual floor and always runs to cap
+    # (tools/diagnose_rnorm.py), so it measures the cap-bound worst case.
     try:
-        med, iters = run(linsys, rnorm_cfg)
+        med, iters = run(linsys, pcg_cfg)
     except Exception:
         linsys = "pcg"
-        med, iters = run(linsys, rnorm_cfg)
-    eta_med, eta_iters = run(linsys, pcg_cfg)
+        med, iters = run(linsys, pcg_cfg)
+    rnorm_cfg = dataclasses.replace(pcg_cfg, exit_criterion="rnorm")
+    rnorm_med, rnorm_iters = run(linsys, rnorm_cfg)
     # exact-direct-solve variant (parallel cyclic reduction, C5'/run_all
     # config 6): one refined PCR solve replaces the whole CG loop — reported
     # alongside since its accuracy is tolerance-free
@@ -185,20 +234,27 @@ def main():
                          pcg_cfg)
     except Exception:  # noqa: BLE001
         pcr_med = None
-    # fused PCG+dz epilogue variant (3 kernel launches instead of 4; opt-in
-    # pending this very measurement — flip the default if it wins)
+    # fused PCG+dz epilogue variant (3 kernel launches instead of 4)
     fdz_med = None
     if linsys == "pcg_pallas":
         try:
-            fdz_med, _ = run(linsys, rnorm_cfg, fused_dz=True)
+            fdz_med, _ = run(linsys, pcg_cfg, fused_dz=True)
         except Exception:  # noqa: BLE001
             pass
+    # TPU-retuned iteration cap (PCGConfig.tuned_max_iter_tpu, round 5): the
+    # reference's own cap-tuning workflow reproduced on this chip picks cap
+    # 80 at N=64 — measured closed-loop tracking error BETTER than the
+    # reference cap (0.032 vs 0.043 avg over the 600-step tune run,
+    # RESULTS stage=tune_eta) at lower latency.
+    tuned_med = tuned_iters = None
+    try:
+        tuned_cfg = dataclasses.replace(
+            pcg_cfg, max_iter=PCGConfig.tuned_max_iter_tpu(N))
+        if tuned_cfg.max_iter != pcg_cfg.max_iter:
+            tuned_med, tuned_iters = run(linsys, tuned_cfg)
+    except Exception:  # noqa: BLE001
+        pass
 
-    # headline = the REFERENCE's exit semantics (||r|| < tol, GBD-PCG /
-    # SURVEY.md C17) at the reference tolerance, so the 2 ms budget margin is
-    # measured at the reference's accuracy operating point; the eta-exit
-    # variant (this framework's cheaper native criterion) is reported
-    # alongside (VERDICT r2 items 3/10)
     print(
         json.dumps(
             dict(
@@ -206,11 +262,16 @@ def main():
                 value=round(med, 1),
                 unit="us",
                 vs_baseline=round(2000.0 / med, 3),
+                exit_criterion="eta",
                 mean_pcg_iters=round(iters, 1),
-                eta_us=round(eta_med, 1),
-                eta_mean_pcg_iters=round(eta_iters, 1),
+                rnorm_us=round(rnorm_med, 1),
+                rnorm_mean_pcg_iters=round(rnorm_iters, 1),
                 pcr_us=None if pcr_med is None else round(pcr_med, 1),
                 fused_dz_us=None if fdz_med is None else round(fdz_med, 1),
+                tpu_tuned_cap_us=None if tuned_med is None else round(tuned_med, 1),
+                tpu_tuned_cap=None if tuned_med is None else tuned_cfg.max_iter,
+                tpu_tuned_cap_mean_pcg_iters=(
+                    None if tuned_iters is None else round(tuned_iters, 1)),
                 chain_len=K,
                 linsys=linsys,
             )
@@ -272,7 +333,13 @@ def run_guarded(main_fn=None, probe_fn=None, main_timeout_s=None):
 if __name__ == "__main__":
     import sys
 
-    if "--main" in sys.argv:
-        main()
+    repeats = 0
+    if "--repeats" in sys.argv:
+        repeats = int(sys.argv[sys.argv.index("--repeats") + 1])
+    if "--main" in sys.argv or repeats:
+        # --repeats K runs the interleaved fused_dz A/B directly (multi-line
+        # output, queue/analysis use); the driver contract path is the
+        # guarded single-line run below.
+        main(repeats=repeats)
     else:
         raise SystemExit(run_guarded())

@@ -12,9 +12,14 @@ WARM-STARTED MPC CHAIN, identical to bench.py:
     goal window along the recorded 0_0 trace, re-pin the initial state;
   * warm wall time of the whole chain / K, median of ``reps`` runs;
   * PCG capped at the reference's tuned per-N max_iter (settings.cuh:124-144)
-    with exit_tol 1e-5; one row per exit criterion — ``rnorm`` (the
-    reference's ||r|| < tol, PRIMARY: its tolerance tables transfer) and
-    ``eta`` (the cheaper native |r.P^-1 r| < tol);
+    with exit_tol 1e-5; one row per exit criterion — ``eta`` (PRIMARY:
+    |r.P^-1 r| < tol IS the reference/GBD-PCG exit, re-derived round 5 from
+    the consumed kernel surface, SURVEY.md C17 — its tolerance tables
+    transfer under eta) and ``rnorm`` (absolute ||r|| < tol, a research
+    variant that is always cap-bound at these tols in f32, i.e. the
+    fixed-cap worst case — see tools/diagnose_rnorm.py);
+  * each row reports the % of solves that exited on max-iter (the
+    reference's health telemetry, mpcsim.cuh:382-387 warns above 50%);
   * each row also reports the chain's mean L1 end-effector tracking error
     (FK of the applied state vs the goal trace, the reference harness's
     accuracy metric, experiment.cuh:106-142) so latency is never quoted
@@ -44,6 +49,11 @@ def main():
     ap.add_argument("--linsys", default="auto")
     ap.add_argument("--exit-criterion", default="both",
                     choices=["rnorm", "eta", "both"])
+    ap.add_argument("--caps", default="ref", choices=["ref", "tpu"],
+                    help="per-N iteration-cap table: 'ref' = the reference's"
+                    " GPU-tuned settings.cuh:124-144 values (parity rows);"
+                    " 'tpu' = this repo's TPU-retuned caps"
+                    " (PCGConfig.tuned_max_iter_tpu, tools/tune_pcg_caps.py)")
     args = ap.parse_args()
 
     import jax
@@ -63,7 +73,7 @@ def main():
 
     from mpcgpu_tpu.models.dynamics import fk_ee_xyz
 
-    criteria = (["rnorm", "eta"] if args.exit_criterion == "both"
+    criteria = (["eta", "rnorm"] if args.exit_criterion == "both"
                 else [args.exit_criterion])
 
     for N in args.knots:
@@ -81,7 +91,7 @@ def main():
             @jax.jit
             def chain(xu0, lam0, xs0, ee0, rho0):
                 def body(i, carry):
-                    xu_, lam_, xs_, ee_, rho_, iters, err = carry
+                    xu_, lam_, xs_, ee_, rho_, iters, err, capped = carry
                     res = sqp_solve(
                         model, cost, sqp_cfg, pcg_cfg, xu_, lam_, xs_, ee_,
                         rho_, 1.0 / 64.0, linsys=linsys,
@@ -96,16 +106,19 @@ def main():
                         jax.lax.dynamic_index_in_dim(
                             ee_full, (i + N) % ee_full.shape[0], keepdims=False))
                     return (xu_n, lam_n, xs_n, ee_n, res.rho,
-                            iters + res.pcg_iters[0], err + e)
+                            iters + res.pcg_iters[0], err + e,
+                            capped + (~res.pcg_converged[0]).astype(jnp.int32))
 
                 init = (xu0, lam0, xs0, ee0, rho0, jnp.int32(0),
-                        jnp.asarray(0.0, dtype))
+                        jnp.asarray(0.0, dtype), jnp.int32(0))
                 return jax.lax.fori_loop(0, K, body, init)
 
             return chain
 
         for criterion in criteria:
-            pcg_cfg = PCGConfig(max_iter=PCGConfig.tuned_max_iter(N),
+            cap = (PCGConfig.tuned_max_iter_tpu(N) if args.caps == "tpu"
+                   else PCGConfig.tuned_max_iter(N))
+            pcg_cfg = PCGConfig(max_iter=cap,
                                 exit_tol=1e-5, exit_criterion=criterion)
             linsys = args.linsys
             if linsys == "auto":
@@ -133,18 +146,22 @@ def main():
                        vs_2ms_budget=round(2000.0 / med, 2),
                        mean_pcg_iters=round(float(np.asarray(out[5])) / K, 1),
                        mean_tracking_err=round(float(np.asarray(out[6])) / K, 5),
-                       pcg_cap=pcg_cfg.max_iter, linsys=linsys,
+                       max_iter_exit_pct=round(
+                           100.0 * float(np.asarray(out[7])) / K, 1),
+                       pcg_cap=pcg_cfg.max_iter, cap_table=args.caps,
+                       linsys=linsys,
                        chain_len=K, warm="mpc-chain",
                        backend=jax.default_backend())
             rows.append(row)
             print(json.dumps(row))
 
     print("\n| N | exit | SQP iter (us) | vs 2 ms budget | mean PCG iters "
-          "| mean L1 track err | cap | linsys |")
-    print("|---|---|---|---|---|---|---|---|")
+          "| max-iter exits | mean L1 track err | cap | linsys |")
+    print("|---|---|---|---|---|---|---|---|---|")
     for r in rows:
         print(f"| {r['knots']} | {r['exit']} | {r['us_per_sqp_iteration']} | "
               f"{r['vs_2ms_budget']}x | {r['mean_pcg_iters']} | "
+              f"{r['max_iter_exit_pct']}% | "
               f"{r['mean_tracking_err']} | "
               f"{r['pcg_cap']} | {r['linsys']} |")
 

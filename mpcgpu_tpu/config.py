@@ -57,10 +57,18 @@ class PCGConfig:
     # see PARITY.md preconditioner-variant study / benchmarks/precond_study.py).
     preconditioner: str = "stair"
     # Exit test metric. 'eta' (default) exits on |r . P^{-1} r| < exit_tol —
-    # the natural CG quantity, computed for free each iteration. 'rnorm'
-    # exits on ||r||_2 < exit_tol, matching the reference/GBD-PCG semantics
-    # (SURVEY.md C17) so the reference's tolerance tables
-    # (track_iiwa_pcg.cu:46-73) transfer directly.
+    # THE reference/GBD-PCG semantics (re-derived round 5, SURVEY.md C17):
+    # the reference kernel's only scalar reductions are p.Sp and eta
+    # (d_v_temp / d_eta_new_temp, pcg/sqp.cuh:120-125), and its warm-up tol
+    # of 1e-11 (mpcsim.cuh:224) is reachable only by eta in f32.  The
+    # reference tolerance tables (track_iiwa_pcg.cu:46-73) therefore
+    # transfer under 'eta'.  'rnorm' exits on ||r||_2 < exit_tol — an
+    # absolute residual criterion kept as a research variant; at the
+    # reference tolerances it sits ORDERS OF MAGNITUDE below the f32
+    # attainable residual floor on this problem scaling (measured
+    # 3.5e-3..0.1 at N=64, tools/diagnose_rnorm.py) and is therefore always
+    # cap-bound — the round-4 "cap-bound pathology" was this mis-inferred
+    # criterion, not a solver defect.
     exit_criterion: str = "eta"
     # Per-SQP-iteration forcing tolerance (Eisenstat-Walker style; the
     # reference always solves at the fixed exit_tol).  'fixed' = exit_tol
@@ -82,6 +90,24 @@ class PCGConfig:
     def tuned_max_iter(knot_points: int) -> int:
         # settings.cuh:124-144 ("values found using experiments")
         return {32: 173, 64: 167, 128: 167, 256: 118, 512: 67}.get(knot_points, 200)
+
+    @staticmethod
+    def tuned_max_iter_tpu(knot_points: int) -> int:
+        """TPU-retuned per-N iteration caps (round 5).
+
+        The reference's caps were "found using experiments" on ITS hardware
+        (settings.cuh:124-144); this table reproduces that tuning workflow
+        on the TPU (`tools/tune_pcg_caps.py`: 600-step closed-loop tracker,
+        2 SQP iters/step, eta exit, tol sweep 1e-5..1e-6).  Measured round 5
+        on one v5e chip (RESULTS stage=tune_eta): at N=32 cap 40 tracks
+        BETTER than the reference cap 173 (avg err 0.041 vs 0.042) at 1.04x
+        lower step latency; at N=64 cap 80 tracks better than cap 167
+        (0.032 vs 0.043) at 1.06x lower latency — higher caps over-solve the
+        QP between re-linearizations and are net-negative on both axes.
+        Horizons not yet tuned on TPU fall back to the reference caps.
+        """
+        return {32: 40, 64: 80}.get(knot_points,
+                                    PCGConfig.tuned_max_iter(knot_points))
 
 
 @_frozen

@@ -43,8 +43,12 @@ def pcg_solve(S, Pinv, gamma, lam0, max_iter: int = 173, exit_tol=1e-6,
         MPC step's multipliers, mpcsim.cuh:186-190).
       max_iter: static iteration cap (settings.cuh:124-144).
       exit_tol: tolerance on the exit metric.
-      exit_criterion: "eta" = |r . P^{-1} r| < exit_tol; "rnorm" = the
-        reference/GBD-PCG criterion ||r||_2 < exit_tol (SURVEY.md C17).
+      exit_criterion: "eta" = |r . P^{-1} r| < exit_tol — the reference/
+        GBD-PCG semantics (SURVEY.md C17, re-derived round 5 from the
+        consumed kernel surface: d_eta_new_temp is the only exit-testable
+        reduction, pcg/sqp.cuh:120-125); "rnorm" = ||r||_2 < exit_tol, an
+        absolute-residual research variant (cap-bound at reference tols in
+        f32 — see tools/diagnose_rnorm.py).
       precond_poly: 1 applies Pinv directly; 2 applies the first-order
         polynomial refinement z = (2 Pinv - Pinv S Pinv) r (one extra S and
         Pinv matvec per iteration; SPD only while lambda_max(S Pinv) < 2 —

@@ -160,9 +160,12 @@ def sqp_solve(
 
         fused_dz=True (default since round 4) folds the dz recovery into
         the PCG kernel's epilogue (3 launches per iteration instead of 4) —
-        validated compiled on the chip (tools/tpu_smoke.py pcg_dz checks)
-        and measured faster in the warm chain (341.9 vs 348.1 us/SQP
-        iteration at N=64 rnorm, BENCH r4).
+        bit-exact vs the split path (test_sqp_fused_dz_matches_split) and
+        validated compiled on the chip (tools/tpu_smoke.py pcg_dz checks).
+        Round-4 timings were WITHIN NOISE of the split path (341.9 vs 348.1
+        us in one run, 365.0 vs 362.0 in another, ~±4% bench spread); the
+        default is adjudicated by the interleaved A/B protocol
+        (`bench.py --repeats K`, VERDICT r4 item 3).
         """
         from mpcgpu_tpu.ops.pcg_pallas import (pcg_dz_solve_pallas_lanes,
                                                pcg_solve_pallas_lanes)

@@ -37,7 +37,7 @@ import numpy as np
 FAILURES = []
 
 
-def check_residual(name, N, S, b, got, want, ratio=3.0):
+def check_residual(name, N, S, b, got, want, ratio=3.0, abs_cap=None):
     """Residual-quality check for iterative / few-digit direct solves.
 
     Elementwise x-equality is the wrong criterion for (a) cap-bound
@@ -54,8 +54,14 @@ def check_residual(name, N, S, b, got, want, ratio=3.0):
     r_got = float(np.linalg.norm(b64 - np.asarray(btd_matvec(S, got), np.float64))) / gn
     r_want = float(np.linalg.norm(b64 - np.asarray(btd_matvec(S, want), np.float64))) / gn
     ok = np.isfinite(got64).all() and r_got <= ratio * max(r_want, 1e-12)
+    # optional absolute ceiling (ADVICE r4): a ratio alone passes silently
+    # if BOTH twins degrade together, or if the pallas side regresses up to
+    # ratio x a small xla residual — cap the pallas relres outright too.
+    if abs_cap is not None:
+        ok = ok and r_got <= abs_cap
+    cap_s = "" if abs_cap is None else f", abs<={abs_cap}"
     print(f"{'PASS' if ok else 'FAIL'}  {name:28s} N={N:<4d} relres={r_got:.3e} "
-          f"(xla {r_want:.3e}, ratio<={ratio})", flush=True)
+          f"(xla {r_want:.3e}, ratio<={ratio}{cap_s})", flush=True)
     if not ok:
         FAILURES.append((name, N))
 
@@ -133,7 +139,9 @@ def run_for_knots(N, skip_slow=False):
     # --- dz kernel ---
     dz_p = compute_dz_pallas(lane, res_x.lam, xu[:, 14:], rho, cost.r_cost)
     dz_x = compute_dz(kkt_x, schur, res_x.lam)
-    check("dz", N, dz_p, dz_x)
+    # 5e-5 rel gate: same-lam twin; measured compiled f32 accumulation-order
+    # noise peaks at 2.3e-5 rel at N=512 (queue r5 smoke_full2).
+    check("dz", N, dz_p, dz_x, atol_scale=5e-5)
 
     # --- fused PCG+dz epilogue kernel (round 4, opt-in fused_dz path) ---
     from mpcgpu_tpu.ops.pcg_pallas import pcg_dz_solve_pallas_lanes
@@ -143,7 +151,13 @@ def run_for_knots(N, skip_slow=False):
         lane, lane["gamma"], lam0_l, xu[:, 14:], rho, cost.r_cost,
         max_iter=cap, exit_tol=1e-7)
     check("pcg_dz.lam", N, lam_l.T, res_x.lam, atol_scale=5e-4)
-    check("pcg_dz.dz", N, dz_f, dz_x, atol_scale=5e-4)
+    # Twin-isolate the dz EPILOGUE: the fused kernel runs its own CG, whose
+    # cap-bound lam differs from the XLA CG's by up to the 5e-4 lam gate, and
+    # dz amplifies lam differences through Q^{-1} (~60x observed at N=128) —
+    # so compare against XLA compute_dz applied to the fused kernel's OWN
+    # lam, not to the XLA CG's lam (queue r5 smoke_full2 false FAIL).
+    dz_x_fused_lam = compute_dz(kkt_x, schur, lam_l.T)
+    check("pcg_dz.dz", N, dz_f, dz_x_fused_lam, atol_scale=5e-5)
     print(f"      pcg_dz iters: fused={int(it_f)}")
 
     # --- merit kernel ---
@@ -179,7 +193,7 @@ def run_for_knots(N, skip_slow=False):
             # (both twins; measured relres floors ~1e-2 xla / ~1e-1 lanes at
             # N=64 — the lane GJ inverse trails by a constant factor).
             check_residual("pcr", N, schur.S, schur.gamma, sol_p, sol_x,
-                           ratio=25.0)
+                           ratio=25.0, abs_cap=0.3)
         except ImportError:
             pass
 
