@@ -395,3 +395,137 @@ def pcg_solve_sharded(
     )
     lam, iters, done = fn(S, Pinv, gamma, lam0)
     return PCGResult(lam=lam, iters=iters, converged=done)
+
+
+@highest_precision
+@partial(jax.jit, static_argnames=("max_iter", "exit_criterion", "interpret"))
+def pcg_solve_two_slab(S, Pinv, gamma, lam0, max_iter: int = 173,
+                       exit_tol=1e-6, exit_criterion: str = "eta",
+                       interpret: bool = False) -> PCGResult:
+    """Single-device TWO-SLAB emulation of ``method="pipelined_slab"``.
+
+    Runs the exact pipelined_slab per-shard compute — the compiled
+    ``pcg_slab_step_pallas`` kernel, the (r, w, s) boundary packets, the
+    off-slab u_{-1}/u_{L} reconstruction — for two slabs inside ONE
+    program, with the ring collectives replaced by explicit slab swaps
+    (a 2-ring's ppermute in either direction IS the swap) and the dots
+    psum by the two-slab sum.
+
+    Purpose: compiled-on-chip coverage of the packet/injection boundary
+    path with NONTRIVIAL neighbors.  A 1-device mesh makes every packet a
+    self-contribution (tools/tpu_smoke.py run_pcg_slab), and the
+    multi-shard split otherwise runs only interpret-mode on the CPU mesh
+    (pcg_solve_sharded gates on backend) — this closes the one coverage
+    hole that CAN be closed on one chip.  Results must match
+    ``ops.pcg.pcg_solve`` at residual level (tools/tpu_smoke.py
+    run_pcg_slab2; tests/test_parallel.py interpret-mode equality).
+    """
+    from mpcgpu_tpu.ops.pcg_pallas import pcg_slab_step_pallas as pcg_slab_step
+
+    dtype = gamma.dtype
+    exit_tol_a = jnp.asarray(exit_tol, dtype)
+    N, n = gamma.shape
+    if N % 2:
+        raise ValueError("two-slab emulation needs even N")
+    L = N // 2
+
+    def lanes(a):
+        """(N, ...) knot-leading -> (2, ..., L) slab-stacked lane layout."""
+        parts = [a[:L], a[L:]]
+        if a.ndim == 4:      # (L, 3, n, n) -> (3, n, n, L)
+            return jnp.stack([jnp.transpose(p, (1, 2, 3, 0)) for p in parts])
+        return jnp.stack([p.T for p in parts])
+
+    S_l = lanes(S)           # (2, 3, n, n, L)
+    P_l = lanes(Pinv)
+    g_l = lanes(gamma)       # (2, n, L)
+    x0 = lanes(lam0)
+
+    def swap(a):             # the 2-ring ppermute (either direction)
+        return a[::-1]
+
+    # loop-invariant neighbor boundary Pinv blocks (cf.
+    # _pcg_local_pipelined_slab: fwd ppermute of P[..., -1], bwd of
+    # P[..., 0]); global-edge ring-wrap garbage is annihilated by the
+    # structurally-zero corner blocks of S/Pinv.
+    PinvL = swap(P_l[:, :, :, :, -1])    # (2, 3, n, n)
+    PinvR = swap(P_l[:, :, :, :, 0])
+
+    def matvec_halo(x):      # x (2, n, L) -> S @ x with ring halos
+        fl = swap(x[:, :, -1])
+        fr = swap(x[:, :, 0])
+        x_prev = jnp.concatenate([fl[:, :, None], x[:, :, :-1]], axis=2)
+        x_next = jnp.concatenate([x[:, :, 1:], fr[:, :, None]], axis=2)
+        return (jnp.einsum("kijl,kjl->kil", S_l[:, 1], x)
+                + jnp.einsum("kijl,kjl->kil", S_l[:, 0], x_prev)
+                + jnp.einsum("kijl,kjl->kil", S_l[:, 2], x_next))
+
+    def exit_test(eta, rr):
+        if exit_criterion == "rnorm":
+            return rr < exit_tol_a * exit_tol_a
+        return jnp.abs(eta) < exit_tol_a
+
+    def packets(r, w, s):
+        """flp/frp (2, 6, n): [r, w, s] x [second, edge] rows, swapped."""
+        pkt_last = jnp.stack([r[:, :, -2], r[:, :, -1], w[:, :, -2],
+                              w[:, :, -1], s[:, :, -2], s[:, :, -1]], axis=1)
+        pkt_first = jnp.stack([r[:, :, 0], r[:, :, 1], w[:, :, 0],
+                               w[:, :, 1], s[:, :, 0], s[:, :, 1]], axis=1)
+        return swap(pkt_last), swap(pkt_first)
+
+    def step(x, r, p, s, u, w, flp, frp, alpha, beta):
+        outs, dots = [], jnp.zeros((3,), dtype)
+        for k in range(2):   # unrolled: 2 compiled kernel calls/iteration
+            fl = flp[k, 0:2] - alpha * (flp[k, 2:4] + beta * flp[k, 4:6])
+            fr = frp[k, 0:2] - alpha * (frp[k, 2:4] + beta * frp[k, 4:6])
+            r_b0 = r[k, :, 0] - alpha * (w[k, :, 0] + beta * s[k, :, 0])
+            r_bl = r[k, :, -1] - alpha * (w[k, :, -1] + beta * s[k, :, -1])
+            u_m1 = (PinvL[k, 0] @ fl[0] + PinvL[k, 1] @ fl[1]
+                    + PinvL[k, 2] @ r_b0)
+            u_Lp = (PinvR[k, 0] @ r_bl + PinvR[k, 1] @ fr[0]
+                    + PinvR[k, 2] @ fr[1])
+            zero = jnp.zeros((n, L), dtype)
+            res = pcg_slab_step(
+                x[k], r[k], p[k], s[k], u[k], w[k], S_l[k], P_l[k],
+                zero.at[:, 0].set(fl[1]), zero.at[:, L - 1].set(fr[0]),
+                zero.at[:, 0].set(u_m1), zero.at[:, L - 1].set(u_Lp),
+                alpha, beta, interpret=interpret)
+            outs.append(res[:6])
+            dots = dots + res[6]
+        stacked = tuple(jnp.stack(pair) for pair in zip(*outs))
+        return stacked + (dots,)
+
+    zvec = jnp.zeros((2, n, L), dtype)
+    zscal = jnp.zeros((), dtype)
+    r0 = g_l - matvec_halo(x0)
+    flp0, frp0 = packets(r0, zvec, zvec)
+    x, r, p, s, u, w, dots0 = step(x0, r0, zvec, zvec, zvec, zvec,
+                                   flp0, frp0, zscal, zscal)
+    flp, frp = packets(r, w, s)
+    eta0, d0, rr0 = dots0[0], dots0[1], dots0[2]
+    one = jnp.ones((), dtype)
+
+    def cond(state):
+        return jnp.logical_and(state[-2] < max_iter,
+                               jnp.logical_not(state[-1]))
+
+    def body(state):
+        (x, r, p, s, u, w, flp, frp, eta, d, eta_prev, alpha_prev,
+         it, _) = state
+        first = it == 0
+        beta = jnp.where(first, jnp.zeros((), dtype), eta / eta_prev)
+        denom = jnp.where(first, d, d - beta * eta / alpha_prev)
+        alpha = eta / denom
+        x, r, p, s, u, w, dots = step(x, r, p, s, u, w, flp, frp,
+                                      alpha, beta)
+        flp, frp = packets(r, w, s)
+        eta_n, d_n, rr_n = dots[0], dots[1], dots[2]
+        done = exit_test(eta_n, rr_n)
+        return (x, r, p, s, u, w, flp, frp, eta_n, d_n, eta, alpha,
+                it + 1, done)
+
+    init = (x, r, p, s, u, w, flp, frp, eta0, d0, one, one,
+            jnp.int32(0), exit_test(eta0, rr0))
+    out = jax.lax.while_loop(cond, body, init)
+    lam = jnp.concatenate([out[0][0].T, out[0][1].T], axis=0)
+    return PCGResult(lam=lam, iters=out[-2], converged=out[-1])

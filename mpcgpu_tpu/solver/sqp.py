@@ -162,10 +162,11 @@ def sqp_solve(
         the PCG kernel's epilogue (3 launches per iteration instead of 4) —
         bit-exact vs the split path (test_sqp_fused_dz_matches_split) and
         validated compiled on the chip (tools/tpu_smoke.py pcg_dz checks).
-        Round-4 timings were WITHIN NOISE of the split path (341.9 vs 348.1
-        us in one run, 365.0 vs 362.0 in another, ~±4% bench spread); the
-        default is adjudicated by the interleaved A/B protocol
-        (`bench.py --repeats K`, VERDICT r4 item 3).
+        Adjudicated round 5 by the interleaved median-of-7 A/B protocol
+        (`bench.py --repeats 7`, VERDICT r4 item 3): fused -4.3 us vs
+        split (333.2 vs 337.5 median) with 6.9 us IQR noise — within
+        noise, slightly favorable, one fewer kernel launch; default stays
+        ON (RESULTS stage=ab_fused_dz).
         """
         from mpcgpu_tpu.ops.pcg_pallas import (pcg_dz_solve_pallas_lanes,
                                                pcg_solve_pallas_lanes)

@@ -406,3 +406,44 @@ def test_pipelined_closed_loop_exit_fidelity_rnorm(tol):
         # same iterate path to recurrence-rounding => same tracked trajectory
         assert abs(err - ref_err) <= 1e-3 * max(ref_err, 1.0), (
             method, err, ref_err)
+
+
+def test_two_slab_emulation_matches_single_device():
+    """pcg_solve_two_slab (the single-chip compiled-coverage harness for the
+    pipelined_slab boundary exchange, tools/tpu_smoke.py run_pcg_slab2) must
+    reproduce the plain PCG: nontrivial (r, w, s) packets, off-slab u rows,
+    and corner-block ring-wrap annihilation all exercised."""
+    from mpcgpu_tpu.parallel.pcg_sharded import pcg_solve_two_slab
+
+    model, cost, xu, xs, ee = _problem()
+    kkt = build_kkt(model, cost, xu, xs, ee, DT)
+    schur = form_schur_system(kkt, 1e-3)
+    lam0 = jnp.zeros((N, NX), jnp.float32)
+
+    ref = pcg_solve(schur.S, schur.Pinv, schur.gamma, lam0, max_iter=60,
+                    exit_tol=1e-7)
+    got = pcg_solve_two_slab(schur.S, schur.Pinv, schur.gamma, lam0,
+                             max_iter=60, exit_tol=1e-7, interpret=True)
+    assert int(got.iters) == int(ref.iters)
+    np.testing.assert_allclose(np.asarray(got.lam), np.asarray(ref.lam),
+                               atol=5e-5)
+
+
+def test_two_slab_emulation_converged_exit():
+    """The eta exit must fire identically in the two-slab emulation (the
+    summed two-slab dots ARE the global dots)."""
+    from mpcgpu_tpu.parallel.pcg_sharded import pcg_solve_two_slab
+
+    model, cost, xu, xs, ee = _problem(dtype=jnp.float64)
+    kkt = build_kkt(model, cost, xu, xs, ee, DT)
+    schur = form_schur_system(kkt, 1e-3)
+    lam0 = jnp.zeros((N, NX), jnp.float64)
+
+    ref = pcg_solve(schur.S, schur.Pinv, schur.gamma, lam0, max_iter=300,
+                    exit_tol=1e-12)
+    got = pcg_solve_two_slab(schur.S, schur.Pinv, schur.gamma, lam0,
+                             max_iter=300, exit_tol=1e-12, interpret=True)
+    assert bool(got.converged)
+    assert abs(int(got.iters) - int(ref.iters)) <= 1
+    np.testing.assert_allclose(np.asarray(got.lam), np.asarray(ref.lam),
+                               atol=1e-7)

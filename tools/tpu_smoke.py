@@ -268,6 +268,33 @@ def run_pcg_slab(N):
     print(f"      pcg_slab iters: slab={int(got.iters)} xla={int(want.iters)}")
 
 
+def run_pcg_slab2(N):
+    """Compiled TWO-slab slab-step PCG on one chip (VERDICT r4 weak #4):
+    pcg_solve_two_slab drives the compiled pcg_slab_step_pallas kernel with
+    NONTRIVIAL neighbor packets/injections (explicit 2-ring swaps replace
+    the collectives), so the boundary-exchange path itself executes compiled
+    — a 1-device mesh only ever feeds it self-contributions."""
+    from mpcgpu_tpu.config import PCGConfig
+    from mpcgpu_tpu.ops.pcg import pcg_solve
+    from mpcgpu_tpu.ops.schur import form_schur_system
+    from mpcgpu_tpu.parallel.pcg_sharded import pcg_solve_two_slab
+    from mpcgpu_tpu.solver.kkt import build_kkt
+
+    model, cost, xu, ee = problem(N)
+    kkt = build_kkt(model, cost, xu, xu[0, :14], ee, 1.0 / 64.0)
+    schur = form_schur_system(kkt, 1e-3)
+    lam0 = jnp.zeros_like(schur.gamma)
+    cap = PCGConfig.tuned_max_iter(N)
+    got = pcg_solve_two_slab(schur.S, schur.Pinv, schur.gamma, lam0,
+                             max_iter=cap, exit_tol=1e-7)
+    want = pcg_solve(schur.S, schur.Pinv, schur.gamma, lam0,
+                     max_iter=cap, exit_tol=1e-7)
+    check_residual("pcg_slab2.lam", N, schur.S, schur.gamma, got.lam,
+                   want.lam, ratio=1.25)
+    print(f"      pcg_slab2 iters: 2slab={int(got.iters)} "
+          f"xla={int(want.iters)}")
+
+
 def run_chain(N=32, nq=5):
     """nq-generic compiled check: a programmatic 5-dof chain (not the baked
     IIWA) through the fused KKT+Schur kernel and PCG vs the XLA twins —
@@ -360,6 +387,11 @@ def main():
         for N in (64,):
             if max(args.knots) >= N:
                 run_pcg_slab(N)
+        # compiled 2-slab boundary-exchange coverage at a short and a
+        # laundered-path (>128-lane global) horizon
+        for N in (64, 256):
+            if max(args.knots) >= N:
+                run_pcg_slab2(N)
         run_chain()
 
     if FAILURES:

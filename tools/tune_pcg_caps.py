@@ -72,12 +72,17 @@ def main():
             wall = float(np.median(walls))
             steps = int(dev["control_updates"])
             errs = np.asarray(dev["tracking_errors"])
+            it = np.asarray(dev["pcg_iters"])
+            live = it[it >= 0]
             print(json.dumps(dict(
                 knots=N, pcg_cap=cap, exit_criterion=args.exit_criterion,
-                exit_tol=tol,
+                exit_tol=tol, sqp_iters=args.sqp_iters,
                 us_per_control_step=round(wall * 1e6 / steps, 1),
                 avg_tracking_error=round(float(errs.mean()), 5),
                 final_tracking_error=round(float(dev["final_tracking_error"]), 5),
+                mean_pcg_iters=round(float(live.mean()), 1) if live.size else None,
+                max_iter_exit_pct=(round(100.0 * float((live >= cap).mean()), 1)
+                                   if live.size else None),
             )))
 
 
