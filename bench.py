@@ -13,8 +13,8 @@ closed-loop tracker's shift logic (mpcsim.cuh:297-347), so every solve does
 real work (PCG runs tens of iterations, as in the reference's steady state).
 Timing the whole chain and dividing by K measures true per-solve DEVICE
 latency; timing individual dispatches would instead measure the host<->device
-tunnel round-trip (~26 ms on remote TPU setups), which says nothing about
-the solver.
+round-trip floor (infrastructure-dependent: ~26 ms on the round-4 tunnel,
+~0.1 ms measured round 5), which says nothing about the solver.
 
 Prints ONE JSON line: value = per-solve latency in microseconds;
 vs_baseline = 2000 / value (speedup vs the 2 ms real-time budget; > 1 means
@@ -137,7 +137,10 @@ def main(repeats: int = 0):
     linsys = "pcg_pallas" if jax.default_backend() == "tpu" else "pcg"
     K = 256
 
-    def make_chain(linsys, pcg_cfg, fused_dz=False):
+    def make_chain(linsys, pcg_cfg, fused_dz=True):
+        # fused_dz=True is the LIBRARY DEFAULT (solver/sqp.py) — the
+        # headline measures the shipped configuration; the split-dz
+        # variant is reported alongside as `split_dz_us`.
         @jax.jit
         def chain(xu0, lam0, xs0, ee0, rho0):
             def body(i, carry):
@@ -163,7 +166,7 @@ def main(repeats: int = 0):
 
         return chain
 
-    def run(linsys, pcg_cfg, fused_dz=False):
+    def run(linsys, pcg_cfg, fused_dz=True):
         """(median us/solve over 5 chains, mean pcg iters) or None."""
         fn = make_chain(linsys, pcg_cfg, fused_dz=fused_dz)
         out = fn(xu, lam, xs, ee0, rho)
@@ -239,11 +242,12 @@ def main(repeats: int = 0):
                          pcg_cfg)
     except Exception:  # noqa: BLE001
         pcr_med = None
-    # fused PCG+dz epilogue variant (3 kernel launches instead of 4)
+    # split dz variant (4 kernel launches instead of 3; the pre-round-4
+    # default, kept as the A/B counterpart of the fused epilogue)
     fdz_med = None
     if linsys == "pcg_pallas":
         try:
-            fdz_med, _ = run(linsys, pcg_cfg, fused_dz=True)
+            fdz_med, _ = run(linsys, pcg_cfg, fused_dz=False)
         except Exception:  # noqa: BLE001
             pass
     # the headline: TPU-tuned cap (falls back to the reference-cap number
@@ -273,7 +277,7 @@ def main(repeats: int = 0):
                 rnorm_us=round(rnorm_med, 1),
                 rnorm_mean_pcg_iters=round(rnorm_iters, 1),
                 pcr_us=None if pcr_med is None else round(pcr_med, 1),
-                fused_dz_us=None if fdz_med is None else round(fdz_med, 1),
+                split_dz_us=None if fdz_med is None else round(fdz_med, 1),
                 chain_len=K,
                 linsys=linsys,
             )

@@ -48,12 +48,14 @@ def parse_log(path):
 
 def markdown_table(parity_rows):
     lines = ["| N | exit | SQP iter (us) | vs 2 ms budget | mean PCG iters "
-             "| mean L1 track err | cap | linsys |",
-             "|---|---|---|---|---|---|---|---|"]
+             "| max-iter exits | mean L1 track err | cap | linsys |",
+             "|---|---|---|---|---|---|---|---|---|"]
     for r in parity_rows:
+        cap_pct = r.get("max_iter_exit_pct")
         lines.append(
             f"| {r['knots']} | {r['exit']} | {r['us_per_sqp_iteration']} | "
             f"{r['vs_2ms_budget']}x | {r['mean_pcg_iters']} | "
+            f"{'-' if cap_pct is None else f'{cap_pct}%'} | "
             f"{r['mean_tracking_err']} | {r['pcg_cap']} | {r['linsys']} |")
     return "\n".join(lines)
 
