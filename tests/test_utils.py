@@ -64,3 +64,19 @@ def CostConfig_for(N):
     from mpcgpu_tpu.config import CostConfig
 
     return CostConfig.for_knots(N)
+
+
+def test_tpu_tuned_cap_table():
+    """The TPU-retuned cap table (round-5 tune_pcg_caps closed loops)
+    overrides only the horizons where retuning WON (32, 64) and falls back
+    to the reference caps elsewhere — the N=128 sweep was a measured
+    negative (PARITY.md)."""
+    from mpcgpu_tpu.config import PCGConfig
+
+    assert PCGConfig.tuned_max_iter_tpu(32) == 40
+    assert PCGConfig.tuned_max_iter_tpu(64) == 80
+    for n in (128, 256, 512, 1024):
+        assert PCGConfig.tuned_max_iter_tpu(n) == PCGConfig.tuned_max_iter(n)
+    # the reference table itself is the settings.cuh:124-144 values
+    assert [PCGConfig.tuned_max_iter(n) for n in (32, 64, 128, 256, 512)] \
+        == [173, 167, 167, 118, 67]
