@@ -32,9 +32,54 @@ from mpcgpu_tpu.utils.occupancy import fused_pipeline_vmem_bytes
 from mpcgpu_tpu.utils.trajfiles import load_eepos_traj, load_xu_traj
 
 
+def probe_scoped_peak(build_and_compile, lo_mib=2.0, hi_mib=100.0,
+                      tol_mib=2.0):
+    """Binary-search the smallest Mosaic ``vmem_limit_bytes`` under which the
+    program still compiles — i.e. the TRUE peak scoped-VMEM requirement of
+    the worst kernel in the program (Mosaic rejects the compile with
+    "Scoped allocation ... exceeded scoped vmem limit" below it).  This is
+    the same failure mode that produced the original 19.4 MiB N=512
+    calibration figure (utils/mosaic.py docstring), i.e. the matching
+    instrument for utils/occupancy.py's model."""
+    import os
+
+    def ok(limit_mib):
+        os.environ["MPCGPU_TPU_KERNEL_VMEM_LIMIT_BYTES"] = str(
+            int(limit_mib * 2**20))
+        # module-level inner jits cache their traces WITH the pallas
+        # compiler params baked in — without a cache clear every attempt
+        # silently reuses the first trace's limit (measured: the probe
+        # returned the floor for every N)
+        jax.clear_caches()
+        try:
+            build_and_compile()
+            return True
+        except Exception:  # noqa: BLE001 - Mosaic raises various wrappers
+            return False
+        finally:
+            os.environ.pop("MPCGPU_TPU_KERNEL_VMEM_LIMIT_BYTES", None)
+            jax.clear_caches()
+
+    if not ok(hi_mib):
+        return None  # fails even at the ceiling: not a scoped-vmem issue
+    lo, hi = lo_mib, hi_mib
+    if ok(lo):
+        return lo  # fits even the floor
+    while hi - lo > tol_mib:
+        mid = 0.5 * (lo + hi)
+        if ok(mid):
+            hi = mid
+        else:
+            lo = mid
+    return hi
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--knots", type=int, nargs="*", default=[128, 256, 512])
+    ap.add_argument("--probe-limit", action="store_true",
+                    help="binary-search the Mosaic scoped-VMEM peak of the "
+                    "fused pipeline per horizon (several recompiles per N)")
     args = ap.parse_args()
 
     dtype = jnp.float32
@@ -79,6 +124,12 @@ def main():
         out = jax.block_until_ready(jax.jit(step)(xu, lam, xu[0, :14], ee,
                                                   rho))
         row["ran_ok"] = bool(np.isfinite(np.asarray(out[0])).all())
+        if args.probe_limit:
+            peak = probe_scoped_peak(
+                lambda: jax.jit(step).lower(xu, lam, xu[0, :14], ee,
+                                            rho).compile())
+            row["scoped_vmem_peak_mib"] = (
+                None if peak is None else round(peak, 1))
         print(json.dumps(row), flush=True)
 
 
