@@ -68,17 +68,22 @@ def test_merit_lane_bound():
     assert not check_merit_occupancy(2305, 9)[0]
 
 
-def test_estimate_matches_second_measured_point_n64():
-    """Non-constructive second calibration (VERDICT r4 weak #7): the fused
-    pipeline's TRUE scoped-VMEM peak at nq=7, N=64, f32 measured 5.1 MiB on
-    the chip (round 5, `tools/measure_vmem.py --probe-limit`: binary search
-    of Mosaic's vmem_limit_bytes to the compile-success threshold, ±2 MiB).
-    The model — calibrated ONLY at the N=512 19.4 MiB anchor — must land
-    within ±30% here too, validating that Mosaic temporaries scale with the
-    padded per-lane geometry."""
+def test_estimate_matches_measured_scoped_peaks():
+    """Non-constructive calibration points (VERDICT r4 weak #7): the fused
+    pipeline's TRUE scoped-VMEM peaks measured on the chip (round 5,
+    `tools/measure_vmem.py --probe-limit`: binary search of Mosaic's
+    vmem_limit_bytes to the compile-success threshold, ±2 MiB; RESULTS
+    stage=measure_vmem_probe).  The model — calibrated ONLY at the N=512
+    19.4 MiB anchor — must land within ±30% at every independently measured
+    horizon, validating that Mosaic temporaries scale with the padded
+    per-lane geometry.  Worst case is N=128 (-28%): the lane-padding floor
+    makes the model flat from 64 to 128 lanes while the measured peak
+    grows slightly — inside the gate, noted in PARITY."""
     import jax.numpy as jnp
 
     from mpcgpu_tpu.utils.occupancy import fused_pipeline_vmem_bytes
 
-    est = fused_pipeline_vmem_bytes(7, 64, jnp.float32) / 2**20
-    assert 5.1 * 0.7 <= est <= 5.1 * 1.3, est
+    measured = {64: 5.1, 128: 6.6, 256: 11.2}
+    for n, peak in measured.items():
+        est = fused_pipeline_vmem_bytes(7, n, jnp.float32) / 2**20
+        assert peak * 0.7 <= est <= peak * 1.3, (n, est, peak)
