@@ -10,7 +10,17 @@ WARM-STARTED MPC CHAIN, identical to bench.py:
     9-candidate line search -> L-M rho update), then the MPC shift
     (mpcsim.cuh:297-347): roll the plan/multipliers one knot, advance the
     goal window along the recorded 0_0 trace, re-pin the initial state;
-  * warm wall time of the whole chain / K, median of ``reps`` runs;
+  * TWO chain lengths (K and 3K) over the same trajectory prefix; the
+    latency is the two-K SLOPE (t_3K - t_K)/2K — the steady-state
+    per-step device cost of steps K..3K-1, with the per-call dispatch
+    constant cancelled exactly.  On the tunneled dev chip the per-call
+    cost of these programs is ~26 ms (argument/constant staging through
+    the relay), so the round-1..5 single-K wall numbers carried
+    ~26 ms/K = ~100 us/step of infrastructure pollution; the slope was
+    validated against a jax.profiler DEVICE trace (132.6 us/step trace vs
+    131.5 slope at N=64 cap 80, RESULTS stage=slope_methodology).  Each
+    row still reports ``wall_us`` (the legacy single-K wall number) for
+    continuity with earlier rounds;
   * PCG capped at the reference's tuned per-N max_iter (settings.cuh:124-144)
     with exit_tol 1e-5; one row per exit criterion — ``eta`` (PRIMARY:
     |r.P^-1 r| < tol IS the reference/GBD-PCG exit, re-derived round 5 from
@@ -95,7 +105,7 @@ def main():
         lam = jnp.zeros((N, 14), dtype)
         rho = jnp.asarray(1e-3, dtype)
 
-        def make_chain(linsys, pcg_cfg, N=N, cost=cost):
+        def make_chain(linsys, pcg_cfg, N=N, cost=cost, k=K):
             @jax.jit
             def chain(xu0, lam0, xs0, ee0, rho0):
                 def body(i, carry):
@@ -119,7 +129,7 @@ def main():
 
                 init = (xu0, lam0, xs0, ee0, rho0, jnp.int32(0),
                         jnp.asarray(0.0, dtype), jnp.int32(0))
-                return jax.lax.fori_loop(0, K, body, init)
+                return jax.lax.fori_loop(0, k, body, init)
 
             return chain
 
@@ -132,6 +142,7 @@ def main():
             if linsys == "auto":
                 linsys = "pcg_pallas" if jax.default_backend() == "tpu" else "pcg"
             xs = xu[0, :14]
+            K_HI = 3 * K
             try:
                 fn = make_chain(linsys, pcg_cfg)
                 out = fn(xu, lam, xs, ee0, rho)
@@ -142,19 +153,30 @@ def main():
                 fn = make_chain(linsys, pcg_cfg)
                 out = fn(xu, lam, xs, ee0, rho)
                 jax.block_until_ready(out)
+            fn_hi = make_chain(linsys, pcg_cfg, k=K_HI)
+            jax.block_until_ready(fn_hi(xu, lam, xs, ee0, rho))
 
-            samples, errs, iters_l, capped_l = [], [], [], []
+            slopes, walls, errs, iters_l, capped_l = [], [], [], [], []
             for xu_s in xu_seeds:
                 xs_s = xu_s[0, :14]
                 for _ in range(args.reps):
+                    # interleave lo/hi so machine drift cancels in the slope
                     t0 = time.perf_counter()
                     out = fn(xu_s, lam, xs_s, ee0, rho)
                     jax.block_until_ready(out)
-                    samples.append((time.perf_counter() - t0) * 1e6 / K)
-                iters_l.append(float(np.asarray(out[5])) / K)
-                errs.append(float(np.asarray(out[6])) / K)
-                capped_l.append(100.0 * float(np.asarray(out[7])) / K)
-            med = float(np.median(samples))
+                    t_lo = (time.perf_counter() - t0) * 1e6
+                    t0 = time.perf_counter()
+                    out_hi = fn_hi(xu_s, lam, xs_s, ee0, rho)
+                    jax.block_until_ready(out_hi)
+                    t_hi = (time.perf_counter() - t0) * 1e6
+                    slopes.append((t_hi - t_lo) / (K_HI - K))
+                    walls.append(t_lo / K)
+                # quality stats over the full long chain (3K steps)
+                iters_l.append(float(np.asarray(out_hi[5])) / K_HI)
+                errs.append(float(np.asarray(out_hi[6])) / K_HI)
+                capped_l.append(100.0 * float(np.asarray(out_hi[7])) / K_HI)
+            med = float(np.median(slopes))
+            wall_med = float(np.median(walls))
             row = dict(knots=N, exit=criterion,
                        us_per_sqp_iteration=round(med, 1),
                        vs_2ms_budget=round(2000.0 / med, 2),
@@ -163,7 +185,8 @@ def main():
                        max_iter_exit_pct=round(float(np.mean(capped_l)), 1),
                        pcg_cap=pcg_cfg.max_iter, cap_table=args.caps,
                        linsys=linsys,
-                       chain_len=K, warm="mpc-chain",
+                       wall_us=round(wall_med, 1),
+                       chain_len=[K, K_HI], warm="mpc-chain",
                        backend=jax.default_backend())
             if args.seeds > 1:
                 row["seeds"] = args.seeds
