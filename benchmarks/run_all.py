@@ -12,10 +12,12 @@ Configs (BASELINE.json "configs"):
   7. fully on-device closed-loop MPC (one jitted scan; extra config)
   8. scenario-parallel on-device closed loop (vmap of config 7; extra config)
 
-Methodology: every metric is measured as K chained invocations INSIDE one
+Methodology: every metric is measured as chained invocations INSIDE one
 jitted ``lax.fori_loop`` (a data token threads each result into the next
-call's inputs), then total/K. Timing individual dispatches on tunneled TPU
-setups measures the ~26 ms host round-trip, not the solver (see bench.py).
+call's inputs) at TWO chain lengths (K and 3K); the reported value is the
+slope (t_3K - t_K)/2K, which cancels the tunneled chip's per-CALL dispatch
+cost exactly (up to ~26 ms/call for constant-heavy programs — round-5
+finding, see PARITY.md canonical methodology and bench.py).
 
 Prints one JSON line per config; PCG configs also report nnz/s throughput
 (nnz of the BTD Schur matrix = 3*N*nx^2 - 2*nx^2 per PCG iteration).
@@ -67,23 +69,34 @@ def _problem(N, B=None, dtype=jnp.float32, seed=0):
 
 def chain_time(stage, K=200, reps=3):
     """stage: scalar token -> scalar token (must consume/produce a data dep).
-    Returns per-invocation seconds, fixed per-program dispatch cost removed."""
+
+    Returns per-invocation seconds as the TWO-K SLOPE (t_3K - t_K)/2K of
+    chains at K and 3K invocations: the tunneled chip's per-CALL dispatch
+    cost (up to ~26 ms for programs with large captured constants — see
+    PARITY.md canonical methodology, round 5) cancels exactly instead of
+    leaving dispatch/K pollution in every row."""
     tiny = jnp.asarray(1e-37, jnp.float32)
 
-    @jax.jit
-    def run(t):
-        return jax.lax.fori_loop(0, K, lambda i, tt: stage(tt * tiny), t)
+    def make(k):
+        @jax.jit
+        def run(t):
+            return jax.lax.fori_loop(0, k, lambda i, tt: stage(tt * tiny), t)
+        return run
 
+    run_lo, run_hi = make(K), make(3 * K)
     t0 = jnp.asarray(1.0, jnp.float32)
-    jax.block_until_ready(run(t0))
-    samples = []
-    for _ in range(reps):
+    jax.block_until_ready(run_lo(t0))
+    jax.block_until_ready(run_hi(t0))
+    slopes = []
+    for _ in range(reps):  # interleave lo/hi so machine drift cancels
         s = time.perf_counter()
-        jax.block_until_ready(run(t0))
-        samples.append((time.perf_counter() - s) / K)
-    # one block_until_ready round-trip amortized over the chain
-    base = float(np.median(samples))
-    return base
+        jax.block_until_ready(run_lo(t0))
+        t_lo = time.perf_counter() - s
+        s = time.perf_counter()
+        jax.block_until_ready(run_hi(t0))
+        t_hi = time.perf_counter() - s
+        slopes.append((t_hi - t_lo) / (2 * K))
+    return float(np.median(slopes))
 
 
 def emit(**kw):
