@@ -64,48 +64,63 @@ def main():
     lam0 = jnp.zeros_like(schur.gamma)
     mesh = Mesh(np.array(jax.devices()[:1]), ("knot",))
 
-    def chain_slab(g0):
-        def body(i, acc):
-            out = pcg_solve_sharded(
-                schur.S, schur.Pinv, g0 + acc * 1e-20, lam0, mesh,
-                max_iter=args.iters, exit_tol=0.0, method="pipelined_slab")
-            return acc + out.lam.sum()
-        return jax.lax.fori_loop(0, args.K, body, jnp.float32(0.0))
+    def make_slab(k):
+        def chain(g0):
+            def body(i, acc):
+                out = pcg_solve_sharded(
+                    schur.S, schur.Pinv, g0 + acc * 1e-20, lam0, mesh,
+                    max_iter=args.iters, exit_tol=0.0,
+                    method="pipelined_slab")
+                return acc + out.lam.sum()
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+        return jax.jit(chain)
 
-    def chain_xla(g0):
-        def body(i, acc):
-            out = pcg_solve_sharded(
-                schur.S, schur.Pinv, g0 + acc * 1e-20, lam0, mesh,
-                max_iter=args.iters, exit_tol=0.0, method="pipelined")
-            return acc + out.lam.sum()
-        return jax.lax.fori_loop(0, args.K, body, jnp.float32(0.0))
+    def make_xla(k):
+        def chain(g0):
+            def body(i, acc):
+                out = pcg_solve_sharded(
+                    schur.S, schur.Pinv, g0 + acc * 1e-20, lam0, mesh,
+                    max_iter=args.iters, exit_tol=0.0, method="pipelined")
+                return acc + out.lam.sum()
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+        return jax.jit(chain)
 
     interp = jax.default_backend() != "tpu"
 
-    def chain_fused(g0):
-        def body(i, acc):
-            out = pcg_solve_pallas(
-                schur.S, schur.Pinv, g0 + acc * 1e-20, lam0,
-                max_iter=args.iters, exit_tol=0.0, interpret=interp)
-            return acc + out.lam.sum()
-        return jax.lax.fori_loop(0, args.K, body, jnp.float32(0.0))
+    def make_fused(k):
+        def chain(g0):
+            def body(i, acc):
+                out = pcg_solve_pallas(
+                    schur.S, schur.Pinv, g0 + acc * 1e-20, lam0,
+                    max_iter=args.iters, exit_tol=0.0, interpret=interp)
+                return acc + out.lam.sum()
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+        return jax.jit(chain)
 
+    # two-K slope per variant: the per-call dispatch constant cancels (it
+    # inflates single-K values and biases the slab/fused RATIO toward 1 —
+    # round-5 methodology correction, see PARITY.md canonical methodology)
     out = {}
-    for name, fn in (("slab_us_per_iter", jax.jit(chain_slab)),
-                     ("xla_pipelined_us_per_iter", jax.jit(chain_xla)),
-                     ("fused_us_per_iter", jax.jit(chain_fused))):
-        r = fn(schur.gamma)
-        jax.block_until_ready(r)
-        samples = []
+    for name, make in (("slab_us_per_iter", make_slab),
+                       ("xla_pipelined_us_per_iter", make_xla),
+                       ("fused_us_per_iter", make_fused)):
+        fn_lo, fn_hi = make(args.K), make(3 * args.K)
+        jax.block_until_ready(fn_lo(schur.gamma))
+        jax.block_until_ready(fn_hi(schur.gamma))
+        slopes = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(schur.gamma))
-            samples.append(
-                (time.perf_counter() - t0) * 1e6 / (args.K * args.iters))
-        out[name] = round(float(np.median(samples)), 3)
+            jax.block_until_ready(fn_lo(schur.gamma))
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn_hi(schur.gamma))
+            t_hi = time.perf_counter() - t0
+            slopes.append((t_hi - t_lo) * 1e6 / (2 * args.K * args.iters))
+        out[name] = round(float(np.median(slopes)), 3)
 
     out.update(metric="pcg_slab_vs_fused_per_iter_us", length=N,
-               iters=args.iters, chain_len=args.K,
+               iters=args.iters, chain_len=[args.K, 3 * args.K],
+               timing="two-K slope",
                ratio=round(out["slab_us_per_iter"] / out["fused_us_per_iter"], 3),
                backend=jax.default_backend())
     print(json.dumps(out))

@@ -61,37 +61,50 @@ def main():
     # interior-shard masks: no global boundary on this slab
     zmask = jnp.zeros((L + 2 * H,), dtype)
 
-    def chain_full(xu0):
-        def body(i, acc):
-            lane = build_kkt_schur_pallas(
-                model, cost, xu0 + acc * 1e-20, xu0[0, :14], ee, rho, dt,
-                interpret=interp)
-            return acc + lane["gamma"].sum()
-        return jax.lax.fori_loop(0, args.K, body, jnp.float32(0.0))
+    def make_full(k):
+        def chain_full(xu0):
+            def body(i, acc):
+                lane = build_kkt_schur_pallas(
+                    model, cost, xu0 + acc * 1e-20, xu0[0, :14], ee, rho, dt,
+                    interpret=interp)
+                return acc + lane["gamma"].sum()
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+        return jax.jit(chain_full)
 
-    def chain_slab(xu0):
-        def body(i, acc):
-            lane = build_kkt_schur_pallas_slab(
-                model, cost, xu0 + acc * 1e-20, xu0[:, :14], ee_ext,
-                zmask, zmask, rho, dt, interpret=interp)
-            return acc + lane["gamma"].sum()
-        return jax.lax.fori_loop(0, args.K, body, jnp.float32(0.0))
+    def make_slab(k):
+        def chain_slab(xu0):
+            def body(i, acc):
+                lane = build_kkt_schur_pallas_slab(
+                    model, cost, xu0 + acc * 1e-20, xu0[:, :14], ee_ext,
+                    zmask, zmask, rho, dt, interpret=interp)
+                return acc + lane["gamma"].sum()
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+        return jax.jit(chain_slab)
 
+    # two-K slope: the per-call dispatch constant cancels (it inflates both
+    # single-K values and biases the RATIO toward 1 — round-5 methodology
+    # correction, see PARITY.md canonical methodology)
     out = {}
-    for name, fn, arg in (("full", jax.jit(chain_full), xu),
-                          ("slab", jax.jit(chain_slab), xu_ext)):
-        r = fn(arg)
-        jax.block_until_ready(r)
-        samples = []
+    for name, make, arg in (("full", make_full, xu),
+                            ("slab", make_slab, xu_ext)):
+        fn_lo, fn_hi = make(args.K), make(3 * args.K)
+        jax.block_until_ready(fn_lo(arg))
+        jax.block_until_ready(fn_hi(arg))
+        slopes = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(arg))
-            samples.append((time.perf_counter() - t0) * 1e6 / args.K)
-        out[name] = round(float(np.median(samples)), 2)
+            jax.block_until_ready(fn_lo(arg))
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn_hi(arg))
+            t_hi = time.perf_counter() - t0
+            slopes.append((t_hi - t_lo) * 1e6 / (2 * args.K))
+        out[name] = round(float(np.median(slopes)), 2)
 
     out.update(metric="slab_vs_full_kkt_schur_kernel_us", length=L,
                halo=H, ratio=round(out["slab"] / out["full"], 3),
-               backend=jax.default_backend(), chain_len=args.K)
+               backend=jax.default_backend(), chain_len=[args.K, 3 * args.K],
+               timing="two-K slope")
     print(json.dumps(out))
 
 
