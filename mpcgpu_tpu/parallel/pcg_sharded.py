@@ -367,8 +367,18 @@ def pcg_solve_sharded(
     Shapes as in ops/pcg.py; N must be divisible by the knot axis size.
     method: "pipelined" (1 psum + 1 halo exchange per iteration, default),
     "pipelined_slab" (same collective structure, per-shard compute in ONE
-    Pallas kernel per iteration — the production TPU path), or "classic"
-    (the textbook 2-psum formulation) — see module docstring.
+    Pallas kernel per iteration, both collectives issued immediately after
+    it — the production TPU path), or "classic" (the textbook 2-psum
+    formulation) — see module docstring.  Measured per-shard compute on
+    one v5e (round 5, two-K slope, slab 64, benchmarks/pcg_slab_cost.py):
+    pipelined 7.87 us/iteration, pipelined_slab 8.85, vs 1.37 for the
+    single-chip VMEM-resident CG loop — ~7.5 us/iteration of the sharded
+    cost is per-launch kernel entry + S/Pinv re-staging, so the sharded
+    path buys CAPACITY (N beyond one chip's VMEM), not single-chip kernel
+    economics; between the two pipelined forms the 1-device ordering
+    slightly favors "pipelined", while "pipelined_slab" issues both
+    collectives back-to-back after one kernel (untestable advantage
+    without real multi-chip ICI).
     The pipelined forms need slab length >= 2 (their halo packets carry two
     boundary rows); at L == 1 they fall back to classic automatically.
     """
