@@ -72,16 +72,18 @@ def batched_scaling(args):
         rho_b = jnp.full((B,), 1e-3, dtype)
         mesh = make_mesh(n_instance=d, n_knot=1)
 
-        def run():
-            return sqp_solve_batched_fused_sharded(
-                model, cost, scfg, pcfg, xu_b, lam_b, xs_b, ee_b, rho_b,
-                1.0 / 64.0, mesh)
+        # jit the call site: called eagerly, the shard_map entry re-traces
+        # the whole gridded pipeline EVERY call (~seconds — measured round 5)
+        run = jax.jit(lambda xu, lam, xs, ee, rho:
+                      sqp_solve_batched_fused_sharded(
+                          model, cost, scfg, pcfg, xu, lam, xs, ee, rho,
+                          1.0 / 64.0, mesh))
 
-        jax.block_until_ready(run().xu)            # compile + warm
+        jax.block_until_ready(run(xu_b, lam_b, xs_b, ee_b, rho_b).xu)
         samples = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(run().xu)
+            jax.block_until_ready(run(xu_b, lam_b, xs_b, ee_b, rho_b).xu)
             samples.append(time.perf_counter() - t0)
         rate = B / float(np.median(samples))       # solves/s
         if base_rate is None:

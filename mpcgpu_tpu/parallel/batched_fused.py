@@ -589,6 +589,10 @@ def sqp_solve_batched_fused_sharded(
     on lanes WITHIN a program (instances_per_program) and instance groups
     over the Pallas grid, now x devices over the mesh — the multi-host
     version of BASELINE's batched-MPC scaling target.
+
+    Call this under ``jax.jit`` (or from inside a jitted loop): invoked
+    eagerly it re-traces the whole gridded pipeline on every call
+    (~seconds — measured round 5, benchmarks/scaling.py).
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
