@@ -36,6 +36,8 @@ def main():
                     help="fixed CG iteration count per solve")
     ap.add_argument("-K", type=int, default=50)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--s-steps", type=int, default=4,
+                    help="s for the communication-avoiding variants")
     args = ap.parse_args()
 
     import jax
@@ -75,6 +77,17 @@ def main():
             return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
         return jax.jit(chain)
 
+    def make_ca(k, method, s_steps):
+        def chain(g0):
+            def body(i, acc):
+                out = pcg_solve_sharded(
+                    schur.S, schur.Pinv, g0 + acc * 1e-20, lam0, mesh,
+                    max_iter=args.iters, exit_tol=0.0, method=method,
+                    s_steps=s_steps)
+                return acc + out.lam.sum()
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+        return jax.jit(chain)
+
     def make_xla(k):
         def chain(g0):
             def body(i, acc):
@@ -100,10 +113,17 @@ def main():
     # two-K slope per variant: the per-call dispatch constant cancels (it
     # inflates single-K values and biases the slab/fused RATIO toward 1 —
     # round-5 methodology correction, see PARITY.md canonical methodology)
+    import functools
     out = {}
     for name, make in (("slab_us_per_iter", make_slab),
                        ("xla_pipelined_us_per_iter", make_xla),
-                       ("fused_us_per_iter", make_fused)):
+                       ("fused_us_per_iter", make_fused),
+                       ("ca_slab_us_per_iter",
+                        functools.partial(make_ca, method="ca_slab",
+                                          s_steps=args.s_steps)),
+                       ("ca_xla_us_per_iter",
+                        functools.partial(make_ca, method="ca",
+                                          s_steps=args.s_steps))):
         fn_lo, fn_hi = make(args.K), make(3 * args.K)
         jax.block_until_ready(fn_lo(schur.gamma))
         jax.block_until_ready(fn_hi(schur.gamma))
@@ -120,8 +140,10 @@ def main():
 
     out.update(metric="pcg_slab_vs_fused_per_iter_us", length=N,
                iters=args.iters, chain_len=[args.K, 3 * args.K],
-               timing="two-K slope",
+               timing="two-K slope", s_steps=args.s_steps,
                ratio=round(out["slab_us_per_iter"] / out["fused_us_per_iter"], 3),
+               ca_ratio=round(out["ca_slab_us_per_iter"]
+                              / out["fused_us_per_iter"], 3),
                backend=jax.default_backend())
     print(json.dumps(out))
 

@@ -264,6 +264,120 @@ def pcg_slab_step_pallas(x, r, p, s, u, w, S_l, P_l, inj_prev, inj_next,
     return outs[:6] + (dots,)
 
 
+def _make_ca_basis_kernel(s: int, L: int):
+    """s-step CG basis + Gram kernel (communication-avoiding sharded PCG,
+    parallel/pcg_sharded.py method="ca_slab").
+
+    One launch per s CG ITERATIONS (vs one per iteration for
+    pcg_slab_step_pallas — amortizing the measured ~7.5 us/launch of
+    kernel entry + S/Pinv staging, benchmarks/pcg_slab_cost.py): builds the
+    monomial bases V = [p, (P^-1 S)p/g, ...] (s+1), W = [z, ...] (s) on the
+    halo-EXTENDED slab (Le = L + 2h lanes, h = 2s+1; end-lane garbage
+    propagates one lane inward per matvec and never reaches the local
+    lanes), their exact S-images Ytil, and the lane-partial Gram rows
+    [G = Y.Ytil (m^2) | b = Y.r (m) | F = Ytil.Ytil (m^2) | f = Ytil.r (m)
+    | r.r (1)], sublane-reduced to (1, L) rows so the (cheap) lane
+    reduction and the single psum happen in XLA.
+    """
+    h = 2 * s + 1
+    m = 2 * s + 1
+
+    def kernel(p_ref, z_ref, r_ref, S_ref, P_ref, g_ref,
+               Y_ref, Yt_ref, part_ref):
+        dtype = p_ref.dtype
+        n, Le = p_ref.shape
+        S = S_ref[:]
+        P = P_ref[:]
+        ginv = 1 / g_ref[0]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (n, Le), 1)
+        not_first = (lane > 0).astype(dtype)
+        not_last = (lane < Le - 1).astype(dtype)
+
+        def contract(Md, xd):
+            acc = Md[:, 0, :] * xd[0:1, :]
+            for j in range(1, n):
+                acc = acc + Md[:, j, :] * xd[j : j + 1, :]
+            return acc
+
+        def matvec(M, x):
+            # zero (not ring) ends: the extension replicates the global
+            # matvec on interior lanes; ends are garbage by construction
+            x_prev = pltpu.roll(x, 1, axis=1) * not_first
+            x_next = pltpu.roll(x, Le - 1, axis=1) * not_last
+            return contract(M[1], x) + contract(M[0], x_prev) \
+                + contract(M[2], x_next)
+
+        V, Vt = [p_ref[:]], []
+        for _ in range(s):
+            Vt.append(matvec(S, V[-1]))
+            V.append(matvec(P, Vt[-1]) * ginv)
+        Vt.append(matvec(S, V[-1]))
+        W, Wt = [z_ref[:]], []
+        for _ in range(s - 1):
+            Wt.append(matvec(S, W[-1]))
+            W.append(matvec(P, Wt[-1]) * ginv)
+        Wt.append(matvec(S, W[-1]))
+
+        Yl = [y[:, h:h + L] for y in V + W]      # local lanes only
+        Ytl = [y[:, h:h + L] for y in Vt + Wt]
+        r = r_ref[:]
+        for a in range(m):
+            Y_ref[a] = Yl[a]
+            Yt_ref[a] = Ytl[a]
+        row = 0
+        for a in range(m):
+            for b_i in range(m):
+                part_ref[row : row + 1, :] = jnp.sum(
+                    Yl[a] * Ytl[b_i], axis=0, keepdims=True)
+                row += 1
+        for a in range(m):
+            part_ref[row : row + 1, :] = jnp.sum(
+                Yl[a] * r, axis=0, keepdims=True)
+            row += 1
+        for a in range(m):
+            for b_i in range(m):
+                part_ref[row : row + 1, :] = jnp.sum(
+                    Ytl[a] * Ytl[b_i], axis=0, keepdims=True)
+                row += 1
+        for a in range(m):
+            part_ref[row : row + 1, :] = jnp.sum(
+                Ytl[a] * r, axis=0, keepdims=True)
+            row += 1
+        part_ref[row : row + 1, :] = jnp.sum(r * r, axis=0, keepdims=True)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("s_steps", "interpret"))
+def pcg_ca_basis_pallas(p_ext, z_ext, r_l, S_ext_l, P_ext_l, g,
+                        s_steps: int = 4, interpret: bool = False):
+    """Lane-layout CA basis kernel.  p_ext/z_ext: (n, Le) halo-extended;
+    r_l: (n, L) local; S_ext_l/P_ext_l: (3, n, n, Le); g: global basis
+    scale.  Returns (Y (m, n, L), Ytil (m, n, L), parts (2m^2+2m+1,) of
+    LANE-REDUCED local Gram entries, ordered [G | b | F | f | rr])."""
+    s = s_steps
+    m = 2 * s + 1
+    n, Le = p_ext.shape
+    L = r_l.shape[1]
+    dtype = r_l.dtype
+    nrows = 2 * m * m + 2 * m + 1
+    Y, Yt, part = pl.pallas_call(
+        _make_ca_basis_kernel(s, L),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, n, L), dtype),
+            jax.ShapeDtypeStruct((m, n, L), dtype),
+            jax.ShapeDtypeStruct((nrows, L), dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3),
+        compiler_params=kernel_compiler_params(),
+        interpret=interpret,
+    )(p_ext, z_ext, r_l, S_ext_l, P_ext_l, jnp.reshape(g, (1,)))
+    return Y, Yt, jnp.sum(part, axis=1)
+
+
 @highest_precision
 @partial(jax.jit, static_argnames=("max_iter", "interpret", "unroll",
                                    "exit_criterion"))

@@ -219,6 +219,308 @@ def _pcg_local_pipelined(S_loc, Pinv_loc, gamma_loc, lam_loc, max_iter: int,
     return out[0], out[-2], out[-1]
 
 
+def _matvec_ext(M_ext, x_ext):
+    """BTD matvec on a halo-EXTENDED slab with zero (not ring) ends.
+
+    The end lanes produce garbage that propagates inward one lane per
+    application — by construction the halo depth exceeds the total number
+    of applications, so the local lanes stay exact (see _pcg_local_ca)."""
+    y = jnp.einsum("kij,kj->ki", M_ext[:, 1], x_ext)
+    y = y.at[1:].add(jnp.einsum("kij,kj->ki", M_ext[1:, 0], x_ext[:-1]))
+    y = y.at[:-1].add(jnp.einsum("kij,kj->ki", M_ext[:-1, 2], x_ext[1:]))
+    return y
+
+
+def _ca_shift_matrix(s: int, dtype):
+    """Coefficient-space image of one P^-1 S application on the monomial
+    basis [v_0..v_s, w_0..w_{s-1}]: T e_{v_j} = e_{v_{j+1}}, T e_{w_j} =
+    e_{w_{j+1}}.  Rows v_s / w_{s-1} are never produced by the inner
+    recurrences (degree argument in _pcg_local_ca's docstring)."""
+    m = 2 * s + 1
+    T = jnp.zeros((m, m), dtype)
+    for j in range(s):
+        T = T.at[j + 1, j].set(1)
+    for j in range(s - 1):
+        T = T.at[s + 1 + j + 1, s + 1 + j].set(1)
+    return T
+
+
+def _ca_coeff_iters(G, b, F, f, rr0, gT, eta, it, done, s: int,
+                    max_iter: int, exit_test, dtype):
+    """The s masked exact-CG iterations in (2s+1)-dim coefficient space.
+
+    Runs identically on every device (all inputs are psum'd/global).
+    Returns (e, a, c, eta, it, done): e = coefficients of x - x_0 in Y,
+    a = of p, c = of z.  See _pcg_local_ca for the derivation."""
+    m = 2 * s + 1
+    e = jnp.zeros((m,), dtype)
+    a = jnp.zeros((m,), dtype).at[0].set(1)        # p = v_0
+    c = jnp.zeros((m,), dtype).at[s + 1].set(1)    # z = w_0
+    for _ in range(s):
+        act = jnp.logical_and(jnp.logical_not(done), it < max_iter)
+        denom = a @ (G @ a)
+        denom = jnp.where(denom == 0, jnp.ones((), dtype), denom)
+        alpha = eta / denom
+        e_n = e + alpha * a
+        c_n = c - alpha * (gT @ a)
+        eta_n = b @ c_n - e_n @ (G @ c_n)
+        rr_n = rr0 - 2 * (f @ e_n) + e_n @ (F @ e_n)
+        beta = eta_n / jnp.where(eta == 0, jnp.ones((), dtype), eta)
+        a_n = c_n + beta * a
+        done_n = exit_test(eta_n, rr_n)
+        sel = lambda new, old: jnp.where(act, new, old)
+        e, c, a = sel(e_n, e), sel(c_n, c), sel(a_n, a)
+        eta = sel(eta_n, eta)
+        it = it + act.astype(jnp.int32)
+        done = jnp.logical_or(done, jnp.logical_and(act, done_n))
+    return e, a, c, eta, it, done
+
+
+def _ca_next_scale(G, g, s: int, dtype):
+    """Next basis scale from the psum'd Gram: measured per-application norm
+    growth of the scaled v-chain (diag(G)[j] = v_j . S v_j ~ ||v_j||^2 up
+    to the S Rayleigh quotient).  Identical on every device."""
+    ratio = jnp.abs(G[s, s]) / jnp.maximum(jnp.abs(G[0, 0]),
+                                           jnp.finfo(dtype).tiny)
+    g_n = g * ratio ** (1 / (2 * s))
+    g_n = jnp.clip(g_n, 1e-6, 1e6)
+    return jnp.where(jnp.isfinite(g_n), g_n, g).astype(dtype)
+
+
+def _pcg_local_ca(S_loc, Pinv_loc, gamma_loc, lam_loc, max_iter: int,
+                  exit_tol, axis_name: str, exit_criterion: str = "eta",
+                  s_steps: int = 4):
+    """Communication-avoiding s-step PCG: s exact-CG-equivalent iterations
+    per ONE wide halo exchange (2 ppermutes) + ONE psum.
+
+    Algebra (derived for this solver; the s-step idea is Chronopoulos-Gear
+    1989 / CA-CG): per outer step build the monomial bases
+        V = [p, (P^-1 S)p, ..., (P^-1 S)^s p]          (s+1 vectors)
+        W = [z, (P^-1 S)z, ..., (P^-1 S)^{s-1} z]      (s vectors)
+    with the S-images Ytil = S [V|W] computed alongside.  By induction the
+    CG vectors of the next s iterations stay in span(Y), Y = [V|W]:
+    p_j needs v up to j and w up to j-1 (p_0 = v_0; z_{j+1} = z_j -
+    alpha_j (P^-1 S) p_j raises each degree by one; the last application,
+    to p_{s-1}, reaches exactly v_s / w_{s-1}).  With coefficient vectors
+    p_j = Y a_j, z_j = Y c_j, x_j = x_0 + Y e_j, r_j = r_0 - Ytil e_j, the
+    CG scalars need only the Gram data
+        G = Y^T S Y = Y^T Ytil,  b = Y^T r_0
+        (rnorm exit additionally: F = Ytil^T Ytil, f = Ytil^T r_0, r_0.r_0)
+    which reduce in ONE psum; the s iterations then advance in m=2s+1
+    dimensional coefficient space identically on every device:
+        alpha_j = eta_j / (a_j G a_j),   e += alpha a,   c -= alpha T a,
+        eta_{j+1} = b.c - e.(G c),       beta = eta_{j+1}/eta_j,
+        a = c + beta a,
+    (T = _ca_shift_matrix) and the slab vectors are recovered locally:
+    x += Y e, r -= Ytil e, z = Y c, p = Y a.
+
+    Halo structure: basis generation applies S/P^-1 at most 2s+1 times, so
+    an extension of h = 2s+1 knots per side (p/z rows exchanged per outer
+    step, S/Pinv halo BLOCKS loop-invariant and exchanged once) keeps the
+    local lanes exact: end-lane garbage propagates one lane inward per
+    application, and at the global edges the structurally-zero corner
+    blocks S[0,0]/Pinv[0,0] (resp. [N-1,2]) annihilate the ring-wrap rows
+    exactly as in the per-iteration methods.
+
+    Exit semantics and iteration counts match exact CG in exact
+    arithmetic; in floating point the monomial basis reorders the same
+    arithmetic (iterates agree to f32/f64 rounding-accumulation for
+    moderate s — validated against pcg_solve in tests/test_parallel.py).
+    Collective budget: 2 ppermutes + 1 psum per s ITERATIONS (the
+    per-iteration methods pay 2 ppermutes + 1 psum per iteration).
+    """
+    dtype = gamma_loc.dtype
+    exit_tol = jnp.asarray(exit_tol, dtype)
+    L, n = gamma_loc.shape
+    s = s_steps
+    h = 2 * s + 1          # halo depth
+    m = 2 * s + 1          # basis size
+
+    n_dev = jax.lax.axis_size(axis_name)
+    perm_fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    perm_bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    # loop-invariant: h-deep halo BLOCKS of S and Pinv (2x2 ppermutes, once)
+    def ext_blocks(M):
+        left = jax.lax.ppermute(M[-h:], axis_name, perm_fwd)
+        right = jax.lax.ppermute(M[:h], axis_name, perm_bwd)
+        return jnp.concatenate([left, M, right], axis=0)
+
+    S_ext = ext_blocks(S_loc)
+    P_ext = ext_blocks(Pinv_loc)
+    T = _ca_shift_matrix(s, dtype)
+
+    def exit_test(eta, rr):
+        if exit_criterion == "rnorm":
+            return rr < exit_tol * exit_tol
+        return jnp.abs(eta) < exit_tol
+
+    def basis_and_gram(p, z, r, g):
+        """2 ppermutes + the local basis chains + Gram partials.
+
+        `g` is a GLOBAL scalar (identical on every device: derived from the
+        previous outer step's psum'd Gram) that rescales each basis step,
+        v_{j+1} = (P^-1 S v_j)/g, keeping f32 basis-vector norms O(1); in
+        coefficient space P^-1 S then acts as g*T (see body)."""
+        pkt_last = jnp.stack([p[-h:], z[-h:]])      # (2, h, n)
+        pkt_first = jnp.stack([p[:h], z[:h]])
+        fl = jax.lax.ppermute(pkt_last, axis_name, perm_fwd)
+        fr = jax.lax.ppermute(pkt_first, axis_name, perm_bwd)
+        p_ext = jnp.concatenate([fl[0], p, fr[0]], axis=0)
+        z_ext = jnp.concatenate([fl[1], z, fr[1]], axis=0)
+        ginv = 1 / g
+        # NOTE: Vt[j] must stay the EXACT S-image of V[j] (it feeds
+        # G = Y^T Ytil and r = r0 - Ytil e), so the rescale rides the
+        # P^-1 step: v_{j+1} = (P^-1 (S v_j)) / g.
+        V, Vt = [p_ext], []
+        for _ in range(s):
+            Vt.append(_matvec_ext(S_ext, V[-1]))
+            V.append(_matvec_ext(P_ext, Vt[-1]) * ginv)
+        Vt.append(_matvec_ext(S_ext, V[-1]))
+        W, Wt = [z_ext], []
+        for _ in range(s - 1):
+            Wt.append(_matvec_ext(S_ext, W[-1]))
+            W.append(_matvec_ext(P_ext, Wt[-1]) * ginv)
+        Wt.append(_matvec_ext(S_ext, W[-1]))
+        Y = jnp.stack(V + W)[:, h:h + L]            # (m, L, n) local lanes
+        Yt = jnp.stack(Vt + Wt)[:, h:h + L]
+        # Gram partials packed for ONE psum: rows [G | b ; F | f ; rr0 | 0]
+        G = jnp.einsum("alk,blk->ab", Y, Yt)
+        b = jnp.einsum("alk,lk->a", Y, r)
+        F = jnp.einsum("alk,blk->ab", Yt, Yt)
+        f = jnp.einsum("alk,lk->a", Yt, r)
+        rr0 = jnp.vdot(r, r)
+        packed = jnp.concatenate([
+            jnp.concatenate([G, b[:, None]], axis=1),
+            jnp.concatenate([F, f[:, None]], axis=1),
+            jnp.zeros((1, m + 1), dtype).at[0, 0].set(rr0),
+        ], axis=0)
+        tot = jax.lax.psum(packed, axis_name)       # 1 psum
+        return Y, Yt, tot[:m, :m], tot[:m, m], tot[m:2 * m, :m], \
+            tot[m:2 * m, m], tot[2 * m, 0]
+
+    # init: true r0/z0 with per-iteration halos (one-time), matching
+    # _pcg_local's init semantics (exit check before any iteration)
+    r0 = gamma_loc - btd_matvec_halo(S_loc, lam_loc, axis_name)
+    z0 = btd_matvec_halo(Pinv_loc, r0, axis_name)
+    loc0 = jnp.stack([jnp.vdot(r0, z0), jnp.vdot(r0, r0)])
+    tot0 = jax.lax.psum(loc0, axis_name)
+    eta_init, rr_init = tot0[0], tot0[1]
+
+    def cond(state):
+        *_, it, done = state
+        return jnp.logical_and(it < max_iter, jnp.logical_not(done))
+
+    def body(state):
+        x, r, z, p, eta, g, it, done = state
+        Y, Yt, G, b, F, f, rr0 = basis_and_gram(p, z, r, g)
+        e, a, c, eta, it, done = _ca_coeff_iters(
+            G, b, F, f, rr0, g * T, eta, it, done, s, max_iter, exit_test,
+            dtype)
+        # local recovery
+        x = x + jnp.einsum("a,alk->lk", e, Y)
+        r = r - jnp.einsum("a,alk->lk", e, Yt)
+        z = jnp.einsum("a,alk->lk", c, Y)
+        p = jnp.einsum("a,alk->lk", a, Y)
+        g = _ca_next_scale(G, g, s, dtype)
+        return (x, r, z, p, eta, g, it, done)
+
+    init = (lam_loc, r0, z0, z0, eta_init, jnp.ones((), dtype), jnp.int32(0),
+            exit_test(eta_init, rr_init))
+    out = jax.lax.while_loop(cond, body, init)
+    x, iters, done = out[0], out[-2], out[-1]
+    return x, iters, done
+
+
+def _pcg_local_ca_slab(S_loc, Pinv_loc, gamma_loc, lam_loc, max_iter: int,
+                       exit_tol, axis_name: str, exit_criterion: str = "eta",
+                       s_steps: int = 4, interpret: bool = False,
+                       lane_inputs: bool = False):
+    """_pcg_local_ca with the per-shard basis compute in ONE Pallas kernel
+    per s ITERATIONS (ops/pcg_pallas.pcg_ca_basis_pallas) — the s-step
+    answer to the measured ~7.5 us/iteration launch+staging cost of the
+    per-iteration slab kernel (pcg_slab_cost.py, PARITY round 5): kernel
+    entries, S/Pinv staging, AND the collectives are all divided by s.
+    Collective budget: 2 ppermutes + 1 psum per OUTER step (jaxpr-asserted
+    in tests/test_parallel.py).  Same coefficient math as _pcg_local_ca
+    (shared helpers), state kept in lane layout (n, L) throughout."""
+    dtype = gamma_loc.dtype
+    exit_tol = jnp.asarray(exit_tol, dtype)
+    s = s_steps
+    h = 2 * s + 1
+    m = 2 * s + 1
+
+    n_dev = jax.lax.axis_size(axis_name)
+    perm_fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    perm_bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    if lane_inputs:
+        S_l, P_l, g_l = S_loc, Pinv_loc, gamma_loc
+        n, L = g_l.shape
+    else:
+        L, n = gamma_loc.shape
+        S_l = jnp.transpose(S_loc, (1, 2, 3, 0))    # (3, n, n, L)
+        P_l = jnp.transpose(Pinv_loc, (1, 2, 3, 0))
+        g_l = gamma_loc.T
+
+    # loop-invariant: h-deep halo BLOCKS on the lane axis (4 ppermutes, once)
+    def ext_blocks(M):
+        left = jax.lax.ppermute(M[..., -h:], axis_name, perm_fwd)
+        right = jax.lax.ppermute(M[..., :h], axis_name, perm_bwd)
+        return jnp.concatenate([left, M, right], axis=-1)
+
+    S_ext = ext_blocks(S_l)     # (3, n, n, L + 2h)
+    P_ext = ext_blocks(P_l)
+    T = _ca_shift_matrix(s, dtype)
+
+    from mpcgpu_tpu.ops.pcg_pallas import pcg_ca_basis_pallas
+
+    def exit_test(eta, rr):
+        if exit_criterion == "rnorm":
+            return rr < exit_tol * exit_tol
+        return jnp.abs(eta) < exit_tol
+
+    def cond(state):
+        *_, it, done = state
+        return jnp.logical_and(it < max_iter, jnp.logical_not(done))
+
+    def body(state):
+        x, r, z, p, eta, g, it, done = state
+        pkt_last = jnp.stack([p[:, -h:], z[:, -h:]])   # (2, n, h)
+        pkt_first = jnp.stack([p[:, :h], z[:, :h]])
+        fl = jax.lax.ppermute(pkt_last, axis_name, perm_fwd)
+        fr = jax.lax.ppermute(pkt_first, axis_name, perm_bwd)
+        p_ext = jnp.concatenate([fl[0], p, fr[0]], axis=1)   # (n, Le)
+        z_ext = jnp.concatenate([fl[1], z, fr[1]], axis=1)
+        Y, Yt, parts = pcg_ca_basis_pallas(p_ext, z_ext, r, S_ext, P_ext, g,
+                                           s_steps=s, interpret=interpret)
+        tot = jax.lax.psum(parts, axis_name)                 # 1 psum
+        G = tot[: m * m].reshape(m, m)
+        b = tot[m * m : m * m + m]
+        F = tot[m * m + m : 2 * m * m + m].reshape(m, m)
+        f = tot[2 * m * m + m : 2 * m * m + 2 * m]
+        rr0 = tot[2 * m * m + 2 * m]
+        e, a, c, eta, it, done = _ca_coeff_iters(
+            G, b, F, f, rr0, g * T, eta, it, done, s, max_iter, exit_test,
+            dtype)
+        x = x + jnp.einsum("a,anl->nl", e, Y)
+        r = r - jnp.einsum("a,anl->nl", e, Yt)
+        z = jnp.einsum("a,anl->nl", c, Y)
+        p = jnp.einsum("a,anl->nl", a, Y)
+        g = _ca_next_scale(G, g, s, dtype)
+        return (x, r, z, p, eta, g, it, done)
+
+    x0 = lam_loc.T
+    r0 = g_l - _btd_matvec_halo_lanes(S_l, x0, axis_name)
+    z0 = _btd_matvec_halo_lanes(P_l, r0, axis_name)
+    tot0 = jax.lax.psum(jnp.stack([jnp.vdot(r0, z0), jnp.vdot(r0, r0)]),
+                        axis_name)
+    init = (x0, r0, z0, z0, tot0[0], jnp.ones((), dtype), jnp.int32(0),
+            exit_test(tot0[0], tot0[1]))
+    out = jax.lax.while_loop(cond, body, init)
+    return out[0].T, out[-2], out[-1]
+
+
 def _btd_matvec_halo_lanes(S_l, x_l, axis_name: str):
     """Lane-layout y = S @ x with ring halos: S_l (3, n, n, L), x_l (n, L)."""
     n_dev = jax.lax.axis_size(axis_name)
@@ -360,7 +662,7 @@ def _pcg_local_pipelined_slab(S_loc, Pinv_loc, gamma_loc, lam_loc,
 def pcg_solve_sharded(
     S, Pinv, gamma, lam0, mesh: Mesh, max_iter: int = 173, exit_tol=1e-6,
     knot_axis: str = "knot", exit_criterion: str = "eta",
-    method: str = "pipelined",
+    method: str = "pipelined", s_steps: int = 4,
 ) -> PCGResult:
     """Solve S lam = gamma with knot blocks sharded over ``mesh[knot_axis]``.
 
@@ -381,13 +683,30 @@ def pcg_solve_sharded(
     without real multi-chip ICI).
     The pipelined forms need slab length >= 2 (their halo packets carry two
     boundary rows); at L == 1 they fall back to classic automatically.
+
+    method="ca" (round 5): communication-avoiding s-step CG — s exact-CG
+    iterations per ONE wide halo exchange + ONE psum (collective budget
+    divided by s; per-shard basis compute batchable into one kernel region
+    per s iterations).  `s_steps` picks s (default 4; halo depth 2s+1, so
+    slabs must be >= 2s+1 knots or it falls back to pipelined).  See
+    _pcg_local_ca for the algebra and the floating-point caveat (monomial
+    basis; iterates match exact CG to rounding for moderate s).
     """
     if method.startswith("pipelined") and S.shape[0] < 2 * mesh.shape[knot_axis]:
         # the pipelined halo packets carry two boundary rows; a one-row slab
         # would fail at trace time (ADVICE r3) — classic only needs
         # single-row halos
         method = "classic"
-    if method == "pipelined_slab":
+    if method.startswith("ca") and \
+            S.shape[0] < (2 * s_steps + 1) * mesh.shape[knot_axis]:
+        # the s-step halo packets carry 2s+1 boundary rows per side
+        method = "pipelined"
+    if method == "ca":
+        impl = partial(_pcg_local_ca, s_steps=s_steps)
+    elif method == "ca_slab":
+        impl = partial(_pcg_local_ca_slab, s_steps=s_steps,
+                       interpret=jax.default_backend() != "tpu")
+    elif method == "pipelined_slab":
         impl = partial(_pcg_local_pipelined_slab,
                        interpret=jax.default_backend() != "tpu")
     elif method == "pipelined":
@@ -401,7 +720,7 @@ def pcg_solve_sharded(
         in_specs=(P(knot_axis), P(knot_axis), P(knot_axis), P(knot_axis)),
         out_specs=(P(knot_axis), P(), P()),
         # pallas_call emits vma-less out_shapes (see sqp_sharded.py)
-        check_vma=(method != "pipelined_slab"),
+        check_vma=(method not in ("pipelined_slab", "ca_slab")),
     )
     lam, iters, done = fn(S, Pinv, gamma, lam0)
     return PCGResult(lam=lam, iters=iters, converged=done)

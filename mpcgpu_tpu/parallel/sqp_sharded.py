@@ -31,7 +31,8 @@ from mpcgpu_tpu.config import CostConfig, PCGConfig, SQPConfig
 from mpcgpu_tpu.models.robot import RobotModel
 from mpcgpu_tpu.ops.smallmat import gj_inverse
 from mpcgpu_tpu.parallel.pcg_sharded import (
-    _pcg_local, _pcg_local_pipelined, _pcg_local_pipelined_slab)
+    _pcg_local, _pcg_local_ca, _pcg_local_ca_slab, _pcg_local_pipelined,
+    _pcg_local_pipelined_slab)
 from mpcgpu_tpu.precision import highest_precision
 from mpcgpu_tpu.solver.kkt import euler_step_and_jacobians, tracking_cost_grad_hess
 from mpcgpu_tpu.solver.sqp import SQPResult
@@ -62,6 +63,7 @@ def sqp_solve_sharded(
     iter_budget=None,
     fused: bool | str = "auto",
     pcg_method: str = "pipelined",
+    pcg_s_steps: int = 4,
 ) -> SQPResult:
     """Full SQP solve with (N, ...) arrays sharded over mesh[knot_axis].
 
@@ -78,7 +80,11 @@ def sqp_solve_sharded(
     qualifies (ee cost, stair preconditioner, slab length >= 2).
 
     pcg_method: "pipelined" (Chronopoulos-Gear, 1 psum + 1 halo exchange
-    per CG iteration) or "classic" — see parallel/pcg_sharded.py.
+    per CG iteration), "classic", or the s-step communication-avoiding
+    forms "ca" / "ca_slab" (ONE psum + ONE halo exchange per `pcg_s_steps`
+    ITERATIONS; "ca_slab" runs the per-shard basis compute in one Pallas
+    kernel per outer step) — see parallel/pcg_sharded.py.  Slabs narrower
+    than the 2s+1 halo fall back to "pipelined".
     """
     N = xu.shape[0]
     nq = model.nq
@@ -109,9 +115,16 @@ def sqp_solve_sharded(
     # fused path: the PCG per-shard compute also runs the slab Pallas kernel
     # (1 kernel + 1 psum + 1 bidirectional exchange per CG iteration) so the
     # dominant stage gets kernel economics too (VERDICT r3 weak #1)
+    if pcg_method.startswith("ca") and L < 2 * pcg_s_steps + 1:
+        pcg_method = "pipelined"       # halo packets carry 2s+1 rows/side
     pcg_slab = (pcg_method == "pipelined_slab"
                 or (fused and pcg_method == "pipelined" and L >= 2))
-    if pcg_slab:
+    if pcg_method == "ca":
+        _pcg_impl = partial(_pcg_local_ca, s_steps=pcg_s_steps)
+    elif pcg_method == "ca_slab":
+        _pcg_impl = partial(_pcg_local_ca_slab, s_steps=pcg_s_steps,
+                            interpret=interpret)
+    elif pcg_slab:
         _pcg_impl = partial(_pcg_local_pipelined_slab, interpret=interpret)
     elif pcg_method == "pipelined":
         _pcg_impl = _pcg_local_pipelined
@@ -323,7 +336,16 @@ def sqp_solve_sharded(
                 state["it"])
             if fused:
                 lane = build_fused(xu_loc, rho)
-                if pcg_slab:
+                if pcg_method == "ca_slab":
+                    # s-step basis kernel fed in the KKT kernel's native
+                    # lane layout, one launch per pcg_s_steps iterations
+                    lam_new, lin_iters, lin_ok = _pcg_local_ca_slab(
+                        lane["S"], lane["Pinv"], lane["gamma"], lam_loc,
+                        pcg_cfg.max_iter, pcg_cfg.exit_tol, ax,
+                        exit_criterion=pcg_cfg.exit_criterion,
+                        s_steps=pcg_s_steps, interpret=interpret,
+                        lane_inputs=True)
+                elif pcg_slab:
                     # feed the slab PCG in the KKT kernel's native lane
                     # layout — no knot-leading round-trip per SQP iteration
                     lam_new, lin_iters, lin_ok = _pcg_local_pipelined_slab(

@@ -96,6 +96,69 @@ def test_sharded_pcg_pipelined_exit_criteria(criterion, method):
                                atol=1e-7)
 
 
+@pytest.mark.parametrize("s_steps,n_knot", [(2, 4), (4, 2)])
+def test_sharded_pcg_ca_matches_single_device(s_steps, n_knot):
+    """Communication-avoiding s-step CG: iterates match exact CG to
+    rounding (f64), iteration counts within one basis width of the
+    single-device count (the exit can only differ by recurrence
+    reassociation, as for pipelined)."""
+    model, cost, xu, xs, ee = _problem(dtype=jnp.float64)
+    kkt = build_kkt(model, cost, xu, xs, ee, DT)
+    schur = form_schur_system(kkt, 1e-3)
+    lam0 = jnp.zeros((N, NX), jnp.float64)
+
+    ref = pcg_solve(schur.S, schur.Pinv, schur.gamma, lam0, max_iter=300,
+                    exit_tol=1e-12)
+    mesh = make_mesh(n_instance=1, n_knot=n_knot)
+    got = pcg_solve_sharded(
+        schur.S, schur.Pinv, schur.gamma, lam0, mesh, max_iter=300,
+        exit_tol=1e-12, method="ca", s_steps=s_steps)
+    assert bool(got.converged)
+    np.testing.assert_allclose(np.asarray(got.lam), np.asarray(ref.lam),
+                               atol=1e-7)
+    assert abs(int(got.iters) - int(ref.iters)) <= s_steps
+
+
+@pytest.mark.parametrize("criterion", ["eta", "rnorm"])
+def test_sharded_pcg_ca_exit_criteria(criterion):
+    """Both exit criteria fire mid-basis with exact-CG-equivalent counts."""
+    model, cost, xu, xs, ee = _problem(dtype=jnp.float64)
+    kkt = build_kkt(model, cost, xu, xs, ee, DT)
+    schur = form_schur_system(kkt, 1e-3)
+    lam0 = jnp.zeros((N, NX), jnp.float64)
+    mesh = make_mesh(n_instance=1, n_knot=2)
+    # rnorm in CA comes from the quadratic-form recurrence rr0 - 2 f.e +
+    # e.F.e, whose cancellation floor makes the exit land a few iterations
+    # LATE (conservative) at tight tolerances — measured drift at 1e-8 is
+    # ~17 iterations on this system, ~6 at 1e-6; eta (the reference
+    # criterion) is a direct recurrence and stays within the basis width
+    tol, slack = (1e-8, 4) if criterion == "eta" else (1e-6, 8)
+    classic = pcg_solve_sharded(
+        schur.S, schur.Pinv, schur.gamma, lam0, mesh, max_iter=300,
+        exit_tol=tol, method="classic", exit_criterion=criterion)
+    ca = pcg_solve_sharded(
+        schur.S, schur.Pinv, schur.gamma, lam0, mesh, max_iter=300,
+        exit_tol=tol, method="ca", s_steps=4, exit_criterion=criterion)
+    assert bool(ca.converged) == bool(classic.converged)
+    assert abs(int(ca.iters) - int(classic.iters)) <= slack
+    np.testing.assert_allclose(np.asarray(ca.lam), np.asarray(classic.lam),
+                               atol=1e-7 if criterion == "eta" else 1e-5)
+
+
+def test_sharded_pcg_ca_narrow_slab_falls_back():
+    """Slabs narrower than the 2s+1 halo fall back to pipelined (which
+    still converges) rather than tracing an out-of-range halo slice."""
+    model, cost, xu, xs, ee = _problem(dtype=jnp.float64)
+    kkt = build_kkt(model, cost, xu, xs, ee, DT)
+    schur = form_schur_system(kkt, 1e-3)
+    lam0 = jnp.zeros((N, NX), jnp.float64)
+    mesh = make_mesh(n_instance=1, n_knot=8)   # L=4 < 2*4+1
+    got = pcg_solve_sharded(
+        schur.S, schur.Pinv, schur.gamma, lam0, mesh, max_iter=300,
+        exit_tol=1e-10, method="ca", s_steps=4)
+    assert bool(got.converged)
+
+
 def _while_body_collective_counts(jaxpr):
     """Find every while eqn (recursively) and count collectives in its body."""
     counts = []
@@ -170,6 +233,46 @@ def test_sharded_pcg_pipelined_collective_budget():
     classic = counts_for("classic")
     assert classic["psum"] == 2, classic
     assert classic["ppermute"] == 4, classic
+
+
+def test_sharded_pcg_ca_collective_budget():
+    """The s-step methods issue 2 ppermutes + 1 psum per OUTER step — i.e.
+    per s ITERATIONS, an s-fold collective reduction vs pipelined."""
+    model, cost, xu, xs, ee = _problem()
+    kkt = build_kkt(model, cost, xu, xs, ee, DT)
+    schur = form_schur_system(kkt, 1e-3)
+    lam0 = jnp.zeros((N, NX), jnp.float32)
+    mesh = make_mesh(n_instance=1, n_knot=2)
+
+    for method in ("ca", "ca_slab"):
+        closed = jax.make_jaxpr(
+            lambda S, P, g, l: pcg_solve_sharded(
+                S, P, g, l, mesh, max_iter=50, exit_tol=1e-6, method=method,
+                s_steps=2)
+        )(schur.S, schur.Pinv, schur.gamma, lam0)
+        found = _while_body_collective_counts(closed.jaxpr)
+        assert found, "no while loop found in jaxpr"
+        assert found[0]["psum"] == 1, (method, found)
+        assert found[0]["ppermute"] == 2, (method, found)
+
+
+def test_sharded_pcg_ca_slab_matches_ca():
+    """The kernel path (interpret mode on CPU) reproduces the XLA s-step
+    path bit-for-bit at the f64 level: same basis chains, same Gram, same
+    coefficient math."""
+    model, cost, xu, xs, ee = _problem(dtype=jnp.float64)
+    kkt = build_kkt(model, cost, xu, xs, ee, DT)
+    schur = form_schur_system(kkt, 1e-3)
+    lam0 = jnp.zeros((N, NX), jnp.float64)
+    mesh = make_mesh(n_instance=1, n_knot=2)
+    ca = pcg_solve_sharded(schur.S, schur.Pinv, schur.gamma, lam0, mesh,
+                           max_iter=60, exit_tol=0.0, method="ca", s_steps=4)
+    cas = pcg_solve_sharded(schur.S, schur.Pinv, schur.gamma, lam0, mesh,
+                            max_iter=60, exit_tol=0.0, method="ca_slab",
+                            s_steps=4)
+    assert int(ca.iters) == int(cas.iters) == 60
+    np.testing.assert_allclose(np.asarray(cas.lam), np.asarray(ca.lam),
+                               atol=1e-10)
 
 
 def test_batched_solver_matches_loop():
@@ -310,6 +413,31 @@ def test_sharded_full_sqp_fused_matches_single_device():
                                atol=2e-5)
     np.testing.assert_array_equal(np.asarray(got.pcg_iters),
                                   np.asarray(ref.pcg_iters))
+    np.testing.assert_array_equal(np.asarray(got.ls_alpha_idx),
+                                  np.asarray(ref.ls_alpha_idx))
+
+
+def test_sharded_full_sqp_ca_matches_single_device():
+    """FUSED knot-sharded SQP with the s-step CA PCG (one basis-kernel
+    launch + 1 psum + 2 ppermutes per pcg_s_steps iterations) reproduces
+    the single-device solver at the same closeness as the per-iteration
+    slab path (iterates to f32 rounding; counts within the basis width)."""
+    from mpcgpu_tpu.parallel.sqp_sharded import sqp_solve_sharded
+
+    model, cost, xu, xs, ee = _problem()
+    lam = jnp.zeros((N, NX), jnp.float32)
+    scfg = SQPConfig(max_iter=2)
+    pcfg = PCGConfig(max_iter=60, exit_tol=1e-7)
+    ref = sqp_solve(model, cost, scfg, pcfg, xu, lam, xs, ee, 1e-3, DT,
+                    linsys="pcg")
+    mesh = make_mesh(1, 2)       # L=16 >= 2s+1 at s=4
+    got = sqp_solve_sharded(model, cost, scfg, pcfg, xu, lam, xs, ee, 1e-3,
+                            DT, mesh, fused=True, pcg_method="ca_slab",
+                            pcg_s_steps=4)
+    np.testing.assert_allclose(np.asarray(got.xu), np.asarray(ref.xu),
+                               atol=2e-4)
+    assert abs(int(np.asarray(got.pcg_iters)[0])
+               - int(np.asarray(ref.pcg_iters)[0])) <= 4
     np.testing.assert_array_equal(np.asarray(got.ls_alpha_idx),
                                   np.asarray(ref.ls_alpha_idx))
 
