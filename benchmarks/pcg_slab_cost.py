@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--s-steps", type=int, default=4,
                     help="s for the communication-avoiding variants")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="variant name prefixes to run (e.g. ca_slab fused)")
     args = ap.parse_args()
 
     import jax
@@ -124,6 +126,8 @@ def main():
                        ("ca_xla_us_per_iter",
                         functools.partial(make_ca, method="ca",
                                           s_steps=args.s_steps))):
+        if args.only and not any(name.startswith(p) for p in args.only):
+            continue
         fn_lo, fn_hi = make(args.K), make(3 * args.K)
         jax.block_until_ready(fn_lo(schur.gamma))
         jax.block_until_ready(fn_hi(schur.gamma))
@@ -141,10 +145,13 @@ def main():
     out.update(metric="pcg_slab_vs_fused_per_iter_us", length=N,
                iters=args.iters, chain_len=[args.K, 3 * args.K],
                timing="two-K slope", s_steps=args.s_steps,
-               ratio=round(out["slab_us_per_iter"] / out["fused_us_per_iter"], 3),
-               ca_ratio=round(out["ca_slab_us_per_iter"]
-                              / out["fused_us_per_iter"], 3),
                backend=jax.default_backend())
+    if "slab_us_per_iter" in out and "fused_us_per_iter" in out:
+        out["ratio"] = round(
+            out["slab_us_per_iter"] / out["fused_us_per_iter"], 3)
+    if "ca_slab_us_per_iter" in out and "fused_us_per_iter" in out:
+        out["ca_ratio"] = round(
+            out["ca_slab_us_per_iter"] / out["fused_us_per_iter"], 3)
     print(json.dumps(out))
 
 

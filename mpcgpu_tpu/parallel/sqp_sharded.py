@@ -62,7 +62,7 @@ def sqp_solve_sharded(
     knot_axis: str = "knot",
     iter_budget=None,
     fused: bool | str = "auto",
-    pcg_method: str = "pipelined",
+    pcg_method: str = "auto",
     pcg_s_steps: int = 4,
 ) -> SQPResult:
     """Full SQP solve with (N, ...) arrays sharded over mesh[knot_axis].
@@ -85,6 +85,13 @@ def sqp_solve_sharded(
     ITERATIONS; "ca_slab" runs the per-shard basis compute in one Pallas
     kernel per outer step) — see parallel/pcg_sharded.py.  Slabs narrower
     than the 2s+1 halo fall back to "pipelined".
+
+    "auto" (default) picks the production method from the measured round-5
+    economics (benchmarks/pcg_slab_cost.py, RESULTS stage=pcg_ca_cost:
+    ca_slab 6.00 us/iter vs pipelined_slab 8.98 at slab 64, collective
+    budget divided by s): "ca_slab" when the fused pipeline runs and the
+    slab fits the 2s+1 halo, else "pipelined" (which the fused path
+    promotes to the per-iteration slab kernel when the slab allows).
     """
     N = xu.shape[0]
     nq = model.nq
@@ -115,6 +122,9 @@ def sqp_solve_sharded(
     # fused path: the PCG per-shard compute also runs the slab Pallas kernel
     # (1 kernel + 1 psum + 1 bidirectional exchange per CG iteration) so the
     # dominant stage gets kernel economics too (VERDICT r3 weak #1)
+    if pcg_method == "auto":
+        pcg_method = ("ca_slab" if fused and L >= 2 * pcg_s_steps + 1
+                      else "pipelined")
     if pcg_method.startswith("ca") and L < 2 * pcg_s_steps + 1:
         pcg_method = "pipelined"       # halo packets carry 2s+1 rows/side
     pcg_slab = (pcg_method == "pipelined_slab"
